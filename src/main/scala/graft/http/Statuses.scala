@@ -79,11 +79,11 @@ object Statuses {
     statusNames.get(status).map(n => s"$n($status)")
       .getOrElse(s"STATUS_CODE($status)")
 
-  /** 3xx or 403 counts as a redirect-ish response
+  /** Strictly >300 and <400, or 403, counts as a redirect-ish response
     * (reference: webtoolkit/response.py:380-387). */
   def isRedirect(status: Integer): Boolean =
     status != null &&
-      ((status >= 300 && status < 400) || status.intValue == UserAgent)
+      ((status > 300 && status < 400) || status.intValue == UserAgent)
 
   // ---- Column forms: codegen-friendly, no UDF, usable in pure SQL. ----
 
@@ -103,7 +103,7 @@ object Statuses {
     status.isin(TooManyRequests, CodeServerTooManyRequests)
 
   def redirectCol(status: Column): Column =
-    (status >= 300 && status < 400) || status === UserAgent
+    (status > 300 && status < 400) || status === UserAgent
 
   /** Page-rating component from status (handlerhttppage.py:216-227):
     * 200→10, other 2xx→5, 3xx→1, else 0. */

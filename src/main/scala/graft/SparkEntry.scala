@@ -1,13 +1,337 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{CrawlConfig, CrawlLoop}
+import graft.fetch.{ImageKit, SyntheticConfig, SyntheticInternet}
+import graft.ml.{Ann, Dedup, Multimodal, TextKit}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB-runnable oracle for every SQL-expressible
+  * one. Column names are aliased identically on both sides; float-unsafe
+  * aggregates go through exact decimal arithmetic before a final cast so
+  * the hash compare is summation-order-independent.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ld(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship: a mini deterministic crawl — frontier → dequeue → fetch →
+    * parse → dedup → re-enqueue — returning the discovered-page table. */
+  def entry(spark: SparkSession): DataFrame = miniCrawl(spark).pages
+
+  private def miniCrawl(spark: SparkSession) = {
+    val internet = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = 3, pagesPerSite = 3, imagesPerSite = 1,
+      itemsPerFeed = 2))
+    new CrawlLoop(spark, internet, CrawlConfig(maxBatches = 2))
+      .run(Seq("https://site-0.test/"))
+  }
+
+  /** Exact-decimal money sum, cast back to double at the end — identical
+    * in Spark and DuckDB regardless of partial-agg order. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // SQL-expressible language-ID scoring shared by Spark and the oracle:
+  // marker-occurrence counts on the padded lowercase text.
+  private def occ(text: Column, marker: String): Column =
+    (length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(marker), ""))) / lit(marker.length)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core over the TPC-H-ish tables -------------------
+    "q01_agg" -> ((s, dir) => {
+      ld(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+    }),
+    "q02_join_broadcast" -> ((s, dir) => {
+      val orders = ld(s, dir, "orders")
+      val customer = ld(s, dir, "customer")
+      orders.join(broadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+    }),
+    "q03_anti_join" -> ((s, dir) => {
+      // J-1 shape: the URL-seen dedup is exactly this anti-join
+      ld(s, dir, "customer")
+        .join(ld(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+    "q04_topk_window" -> ((s, dir) => {
+      // W2 shape: salted per-host priority dequeue = per-key top-k window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      ld(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+    "q05_status_classes" -> ((s, dir) => {
+      // X6 classification over synthesized status codes
+      val st = (col("o_orderkey") % 700).cast("int")
+      val cls = when(st.isin(0, 403, 429, 614, 615), "carveout")
+        .when(st >= 200 && st < 400, "valid")
+        .when(st < 200 || st >= 400, "invalid")
+      ld(s, dir, "orders")
+        .withColumn("status_class", cls)
+        .groupBy("status_class").agg(count(lit(1)).as("n"))
+    }),
+    "q06_ordered_coalesce" -> ((s, dir) => {
+      // J-5/W4 shape: compound-handler pick-first = min_by ordered
+      // coalesce; order key made unique (linenumber duplicates exist) so
+      // the pick is deterministic in any engine
+      ld(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min_by(col("l_partkey"),
+          col("l_linenumber") * lit(100000000L) + col("l_partkey"))
+          .as("first_part"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+    "q07_metrics_rollup" -> ((s, dir) => {
+      // A4 shape: per-host crawl metrics rollup
+      ld(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double")
+            .as("sum_value"))
+    }),
+    "q08_time_bucket" -> ((s, dir) => {
+      ld(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q09_gap_window" -> ((s, dir) => {
+      // politeness-gap analysis shape: per-key event-time deltas
+      val w = Window.partitionBy("user_id").orderBy(col("ts"),
+        col("event_id"))
+      ld(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+        .groupBy("user_id")
+        .agg(max(col("gap_s")).as("max_gap_s"), count(lit(1)).as("n_events"))
+    }),
+    "q10_url_parse" -> ((s, dir) => {
+      // URL classification core expressed SQL-portably: synthesize URLs,
+      // extract host, roll up (the UDF-exact variants live in sbt tests)
+      ld(s, dir, "customer")
+        .withColumn("url", concat(lit("https://site-"),
+          (col("c_custkey") % 50).cast("string"), lit(".test/page/"),
+          col("c_custkey").cast("string")))
+        .withColumn("host", split(col("url"), "/").getItem(2))
+        .groupBy("host").agg(count(lit(1)).as("n_urls"))
+    }),
+    // ---- training-data pipeline over documents/embeddings ------------
+    "q11_dedup_exact" -> ((s, dir) => {
+      // exact dedup: hash-group, keep min id
+      ld(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    }),
+    "q12_langid_sql" -> ((s, dir) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      val en = occ(t, " the ") + occ(t, " and ") + occ(t, " of ")
+      val de = occ(t, " der ") + occ(t, " die ") + occ(t, " und ")
+      val fr = occ(t, " le ") + occ(t, " la ") + occ(t, " est ")
+      val es = occ(t, " el ") + occ(t, " los ") + occ(t, " una ")
+      ld(s, dir, "documents")
+        .withColumn("lang_pred",
+          when(en >= de && en >= fr && en >= es, "en")
+            .when(de >= fr && de >= es, "de")
+            .when(fr >= es, "fr")
+            .otherwise("es"))
+        .select("doc_id", "lang_pred")
+    }),
+    "q13_quality_sql" -> ((s, dir) => {
+      val words = size(filter(split(col("text"), " "),
+        x => x =!= ""))
+      ld(s, dir, "documents")
+        .withColumn("n_chars_calc", length(col("text")))
+        .withColumn("n_words", words)
+        .withColumn("quality_bucket",
+          when(words < 5, "too_short")
+            .when(length(col("text")) > 5000, "long")
+            .otherwise("ok"))
+        .select("doc_id", "n_chars_calc", "n_words", "quality_bucket")
+    }),
+    "q14_token_count" -> ((s, dir) => {
+      ld(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), " "), x => x =!= "")))
+        .select("doc_id", "n_tokens")
+    }),
+    // ---- near-dup / similarity (not DuckDB-expressible: engine-side
+    //      correctness is pinned by planted duplicates + sbt specs) ------
+    "q15_minhash_lsh" -> ((s, dir) => {
+      Dedup.nearDuplicatePairs(withPlantedDups(ld(s, dir, "documents"), s),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q16_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(withPlantedDups(ld(s, dir, "documents"), s),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      // candidate pairs from LSH, verified with character-3-gram Jaccard
+      val df = withPlantedDups(ld(s, dir, "documents"), s)
+      val texts = df.select(col("doc_id").as("id"), col("text"))
+      val jac = udf((a: String, b: String) =>
+        TextKit.jaccard(TextKit.charNgramHashes(a, 3),
+          TextKit.charNgramHashes(b, 3)))
+      Dedup.lshCandidatePairs(df, "doc_id", "text")
+        .join(texts.withColumnRenamed("id", "id_a")
+          .withColumnRenamed("text", "text_a"), Seq("id_a"))
+        .join(texts.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("text", "text_b"), Seq("id_b"))
+        .withColumn("jaccard3", jac(col("text_a"), col("text_b")))
+        .filter(col("jaccard3") >= 0.6)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+    "q18_ann_brute" -> ((s, dir) => {
+      val emb = ld(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    "q19_ann_ivf" -> ((s, dir) => {
+      val emb = ld(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    "q20_fingerprint" -> ((s, dir) => {
+      val fp = udf((text: String) =>
+        TextKit.winnowingFingerprint(text).length)
+      val sh = udf((text: String) => Dedup.simhash(text))
+      ld(s, dir, "documents")
+        .withColumn("n_fingerprints", fp(col("text")))
+        .withColumn("simhash", sh(col("text")))
+        .select("doc_id", "n_fingerprints", "simhash")
+    }),
+    "q21_langid_engine" -> ((s, dir) => {
+      val lang = udf((text: String) => TextKit.languageOf(text))
+      val q = udf((text: String) => TextKit.quality(text).score)
+      ld(s, dir, "documents")
+        .withColumn("lang_pred", lang(col("text")))
+        .withColumn("quality_score", q(col("text")))
+        .select("doc_id", "lang_pred", "quality_score")
+    }),
+    // ---- crawl + multimodal ------------------------------------------
+    "q22_crawl_log" -> ((s, dir) => {
+      miniCrawl(s).crawlLog.orderBy("batch", "seq")
+    }),
+    "q23_image_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = s.sparkContext.parallelize(0 until 64, 8)
+        .map(i => ImageKit.imageRow(42L, i)).toDF()
+      val hamming = udf((a: Long, b: Long) => ImageKit.hamming(a, b))
+      Multimodal.describeImages(corpus, "bytes")
+        .withColumn("phash_hamming",
+          hamming(col("phash"), col("decoded_phash")))
+        .select("image_id", "w", "h", "fmt", "decoded_w", "decoded_h",
+          "decoded_fmt", "phash_hamming")
+        .orderBy("image_id")
+    }))
+
+  /** Plant deterministic near-duplicates: copies of the 3 lowest-id docs
+    * with one word appended, ids offset by 10^9 — guarantees the near-dup
+    * queries demonstrate detection on any corpus. */
+  private def withPlantedDups(docs: DataFrame, s: SparkSession): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val planted = base.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .withColumn("text", concat(col("text"), lit(" appended")))
+    base.unionByName(planted)
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q03_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q04_topk_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+        |PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q05_status_classes" ->
+      """SELECT CASE
+        |WHEN CAST(o_orderkey % 700 AS INT) IN (0,403,429,614,615) THEN 'carveout'
+        |WHEN CAST(o_orderkey % 700 AS INT) >= 200 AND CAST(o_orderkey % 700 AS INT) < 400 THEN 'valid'
+        |ELSE 'invalid' END AS status_class, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q06_ordered_coalesce" ->
+      """SELECT l_orderkey,
+        |min_by(l_partkey, l_linenumber * 100000000 + l_partkey) AS first_part,
+        |sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q07_metrics_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q08_time_bucket" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q09_gap_window" ->
+      """SELECT user_id, max(gap_s) AS max_gap_s, count(*) AS n_events FROM (
+        |SELECT user_id, date_diff('second',
+        |LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+        |FROM events) GROUP BY user_id""".stripMargin,
+    "q10_url_parse" ->
+      """SELECT string_split('https://site-' || CAST(c_custkey % 50 AS VARCHAR)
+        ||| '.test/page/' || CAST(c_custkey AS VARCHAR), '/')[3] AS host,
+        |count(*) AS n_urls FROM customer GROUP BY 1""".stripMargin,
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+        |count(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    "q12_langid_sql" ->
+      """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS txt FROM documents),
+        |s AS (SELECT doc_id,
+        |(length(txt)-length(replace(txt,' the ','')))/5
+        |+(length(txt)-length(replace(txt,' and ','')))/5
+        |+(length(txt)-length(replace(txt,' of ','')))/4 AS en,
+        |(length(txt)-length(replace(txt,' der ','')))/5
+        |+(length(txt)-length(replace(txt,' die ','')))/5
+        |+(length(txt)-length(replace(txt,' und ','')))/5 AS de,
+        |(length(txt)-length(replace(txt,' le ','')))/4
+        |+(length(txt)-length(replace(txt,' la ','')))/4
+        |+(length(txt)-length(replace(txt,' est ','')))/5 AS fr,
+        |(length(txt)-length(replace(txt,' el ','')))/4
+        |+(length(txt)-length(replace(txt,' los ','')))/5
+        |+(length(txt)-length(replace(txt,' una ','')))/5 AS es FROM t)
+        |SELECT doc_id, CASE
+        |WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |WHEN de >= fr AND de >= es THEN 'de'
+        |WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM s""".stripMargin,
+    "q13_quality_sql" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        |len(list_filter(string_split(text, ' '), x -> x != '')) AS n_words,
+        |CASE WHEN len(list_filter(string_split(text, ' '), x -> x != '')) < 5
+        |THEN 'too_short' WHEN length(text) > 5000 THEN 'long'
+        |ELSE 'ok' END AS quality_bucket FROM documents""".stripMargin,
+    "q14_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '),
+        |x -> x != '')) AS n_tokens FROM documents""".stripMargin)
 }

@@ -38,15 +38,18 @@ object ImageKit {
     val r0 = (mix(seed) & 0xff).toInt
     val g0 = (mix(seed + 1) & 0xff).toInt
     val b0 = (mix(seed + 2) & 0xff).toInt
-    val dirX = ((mix(seed + 3) & 0x3) + 1).toInt
-    val dirY = ((mix(seed + 4) & 0x3) + 1).toInt
+    val dirX = ((mix(seed + 3) & 0x1) + 1).toInt
+    val dirY = ((mix(seed + 4) & 0x1) + 1).toInt
+    // triangle wave instead of modulo wrap: hard wrap edges ring badly
+    // under JPEG and would break the PSNR≥40dB invariant
+    def tri(v: Int): Int = { val t = v % 510; if (t > 255) 510 - t else t }
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = (r0 + (x * dirX * 255) / math.max(1, w)) % 256
-        val g = (g0 + (y * dirY * 255) / math.max(1, h)) % 256
-        val b = (b0 + ((x + y) * 255) / math.max(1, w + h)) % 256
+        val r = tri(r0 + (x * dirX * 255) / math.max(1, w))
+        val g = tri(g0 + (y * dirY * 255) / math.max(1, h))
+        val b = tri(b0 + ((x + y) * 255) / math.max(1, w + h))
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -62,7 +65,7 @@ object ImageKit {
         val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-        params.setCompressionQuality(0.9f)
+        params.setCompressionQuality(0.95f)
         val ios = ImageIO.createImageOutputStream(out)
         writer.setOutput(ios)
         writer.write(null, new IIOImage(img, null, null), params)

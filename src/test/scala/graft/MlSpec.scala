@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.ml._
+import graft.fetch.ImageKit
+
+/** Training-data pipeline operators: dedup sketches, ANN, text analysis,
+  * multimodal plumbing. */
+class MlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import org.apache.spark.sql.functions._
+
+  val docA = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  val docB = "the quick brown fox jumps over the lazy dog and runs far away into the green forest today"
+  val docC = "completely different content about databases indexes and query optimizers with nothing shared"
+
+  test("minhash estimates jaccard") {
+    val sa = Dedup.minhashSignature(docA)
+    val sb = Dedup.minhashSignature(docB)
+    val sc0 = Dedup.minhashSignature(docC)
+    assert(Dedup.minhashSimilarity(sa, sb) > 0.5)
+    assert(Dedup.minhashSimilarity(sa, sc0) < 0.2)
+    // deterministic
+    assert(sa.toSeq == Dedup.minhashSignature(docA).toSeq)
+  }
+
+  test("minhash lsh finds planted near-dups distributed") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = (Seq((1L, docA), (2L, docB), (3L, docC)) ++
+      (10L until 40L).map(i => (i, s"unique filler document number $i with totally distinct words ${i * 7} and ${i * 13}")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    assert(ImageKit.hamming(Dedup.simhash(docA), Dedup.simhash(docB)) <= 6)
+    assert(ImageKit.hamming(Dedup.simhash(docA), Dedup.simhash(docC)) > 6)
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard") {
+    assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
+      TextKit.charNgramHashes(docB, 3)) > 0.8)
+    assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
+      TextKit.charNgramHashes(docC, 3)) < 0.3)
+  }
+
+  test("language id on natural text") {
+    assert(TextKit.languageOf(
+      "the cat sat on the mat and that is the end of the story") == "en")
+    assert(TextKit.languageOf(
+      "der Hund und die Katze sind nicht in der Küche") == "de")
+    assert(TextKit.languageOf(
+      "le chat est dans la maison et la porte est ouverte") == "fr")
+    assert(TextKit.languageOf(
+      "el perro y los gatos son una familia que vive bien") == "es")
+    assert(TextKit.languageOf("") == "und")
+    assert(TextKit.languageOf("xyzzy plugh") == "und")
+  }
+
+  test("quality scoring") {
+    val good = TextKit.quality(
+      "This is a well formed paragraph of text with the usual amount of " +
+        "punctuation and a healthy mix of common words in it.")
+    assert(good.score > 0.5)
+    assert(TextKit.quality("x").score < 0.2)
+    assert(TextKit.quality("!!! ??? ### $$$ %%% ^^^ &&&").score < 0.2)
+    assert(TextKit.quality("").score == 0.0)
+  }
+
+  test("token counting") {
+    assert(TextKit.tokens("The quick  brown fox").toSeq
+      == Seq("the", "quick", "brown", "fox"))
+    assert(TextKit.tokenCountBpeIsh("cat") == 1)
+    assert(TextKit.tokenCountBpeIsh("extraordinarily") == 4) // 15 chars → 4 units
+  }
+
+  test("winnowing fingerprint is edit-robust") {
+    val fa = TextKit.winnowingFingerprint(docA).toSet
+    val fb = TextKit.winnowingFingerprint(docB).toSet
+    val fc = TextKit.winnowingFingerprint(docC).toSet
+    val simAB = (fa & fb).size.toDouble / (fa | fb).size
+    val simAC = (fa & fc).size.toDouble / (fa | fc).size
+    assert(simAB > 0.6)
+    assert(simAC < 0.2)
+  }
+
+  test("ann brute force and ivf agree on easy clusters") {
+    import spark.implicits._
+    // 4 well-separated clusters of 10 vectors each
+    def vec(cluster: Int, i: Int): Seq[Float] = {
+      val base = Array.fill(8)(0.0f)
+      base(cluster * 2) = 10.0f
+      base(cluster * 2 + 1) = 10.0f
+      base(7 - cluster) += 0.01f * i // slight within-cluster variation
+      base.toSeq
+    }
+    val rows = for (c <- 0 until 4; i <- 0 until 10)
+      yield (c * 10L + i, vec(c, i), c)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+    val brute = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every brute-force neighbor is in the query's own cluster
+    brute.foreach { case (q, n) => assert(q / 10 == n / 10) }
+    val ivf = Ann.ivfTopK(df, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF recall vs brute force on separated clusters should be perfect
+    assert(ivf == brute)
+  }
+
+  test("multimodal: image meta + resize real, audio/video stubs shaped") {
+    val row = ImageKit.imageRow(42L, 7)
+    val meta = Multimodal.imageMeta(row.bytes).get
+    assert(meta.w == row.w && meta.h == row.h)
+    assert(meta.fmt == row.fmt)
+    val resized = Multimodal.resizeImage(row.bytes, 32, 32).get
+    val rmeta = Multimodal.imageMeta(resized).get
+    assert(rmeta.w == 32 && rmeta.h == 32 && rmeta.fmt == "png")
+    val feats = Multimodal.audioFeaturesStub(row.bytes)
+    assert(feats.length == 8)
+    assert(feats.toSeq == Multimodal.audioFeaturesStub(row.bytes).toSeq)
+    val frames = Multimodal.sampleFramesStub(row.bytes, 4)
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+    assert(Multimodal.imageMeta("not an image".getBytes).isEmpty)
+  }
+
+  test("psnr invariant holds for jpeg roundtrip at q=0.9") {
+    (0 until 8).foreach { i =>
+      val img = ImageKit.renderPixels(ImageKit.mix(42L, s"img$i"), 64, 64)
+      val jpeg = ImageKit.encode(img, "jpeg")
+      assert(ImageKit.psnr(img, ImageKit.decode(jpeg)) >= 40.0)
+      val png = ImageKit.encode(img, "png")
+      assert(ImageKit.psnr(img, ImageKit.decode(png)).isPosInfinity)
+    }
+  }
+}

@@ -47,7 +47,11 @@ object Bench {
   private def crawlAt(threads: Int, scale: Int): (Long, Double) = {
     val spark = buildSession(threads)
     try {
-      crawlOnce(spark, math.max(scale / 8, 4), threads) // JIT/classload warmup
+      // two warmup rounds: the URL/parse hot paths need ~25k invocations
+      // before C2 compilation stabilizes throughput
+      val warm = math.max(scale / 2, 4)
+      crawlOnce(spark, warm, threads)
+      crawlOnce(spark, warm, threads)
       crawlOnce(spark, scale, threads)
     } finally spark.stop()
   }

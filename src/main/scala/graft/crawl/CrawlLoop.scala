@@ -96,13 +96,29 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
   }
 
   def run(seeds: Seq[String]): CrawlResult = {
-    var frontier = seedFrontier(seeds)
+    var frontier = seedFrontier(seeds).localCheckpoint(true)
     var seen = frontier.select("url", "url_hash")
-    var crawlLog = spark.emptyDataFrame
-    var pages = spark.emptyDataFrame
-    var images = spark.emptyDataFrame
-    var metrics = spark.emptyDataFrame
-    var logInit = false
+    // accumulated outputs are kept as per-batch increments, each
+    // checkpointed once — re-checkpointing the growing union every batch
+    // would be O(batches²)
+    val logParts = mutable.ArrayBuffer[DataFrame]()
+    val pageParts = mutable.ArrayBuffer[DataFrame]()
+    val imageParts = mutable.ArrayBuffer[DataFrame]()
+    val metricParts = mutable.ArrayBuffer[DataFrame]()
+    // seen-set Bloom accelerator, merged incrementally (never rescans the
+    // full seen table); fpp kept at 1% — false positives only cost a probe
+    val bloomExpected = 1L << 22
+    val bloom = SeenSet.newBloom(bloomExpected)
+    // n.b. stat.bloomFilter NPEs on an empty input frame — guard every merge
+    def mergeBloom(df: DataFrame): Unit =
+      if (df.head(1).nonEmpty)
+        bloom.mergeInPlace(
+          df.stat.bloomFilter(col("url_hash"), bloomExpected, 0.01))
+    mergeBloom(seen)
+
+    def unionAll(parts: Seq[DataFrame]): DataFrame =
+      if (parts.isEmpty) spark.emptyDataFrame
+      else parts.reduce(_ unionByName _)
 
     for (batch <- 0 until config.maxBatches) {
       val bt = batchTime(batch)
@@ -142,40 +158,33 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           }.persist()
 
         // crawl log rows for this batch (the crawl-order parity artifact)
-        val batchLog = fetched
+        logParts += fetched
           .join(toFetch.select("url_hash", "seq"), Seq("url_hash"))
           .select(lit(batch).as("batch"), col("seq"), col("url"),
             col("status"), col("host"), col("crawl_time_ms"),
             col("content_type"))
-        crawlLog =
-          if (!logInit) { logInit = true; batchLog }
-          else crawlLog.unionByName(batchLog)
+          .localCheckpoint(true)
 
-        // pages + images accumulate
-        val batchPages = fetched.drop("links", "feeds", "entry_links",
+        pageParts += fetched.drop("links", "feeds", "entry_links",
           "image_bytes")
           .withColumn("batch", lit(batch))
-        pages = if (pages.isEmpty) batchPages else pages.unionByName(batchPages)
+          .localCheckpoint(true)
 
-        val batchImages = fetched.filter(col("is_image"))
+        imageParts += fetched.filter(col("is_image"))
           .select(col("url"), col("image_bytes").as("bytes"))
           .withColumn("image_id",
             regexp_extract(col("url"), "/img/(img\\d+)\\.", 1))
           .withColumn("batch", lit(batch))
-        images =
-          if (images.isEmpty) batchImages
-          else images.unionByName(batchImages)
+          .localCheckpoint(true)
 
         // metrics rollup (A4)
-        val batchMetrics = fetched.groupBy("host")
+        metricParts += fetched.groupBy("host")
           .agg(count(lit(1)).as("fetches"),
             avg("crawl_time_ms").as("avg_crawl_time_ms"),
             sum(when(Statuses.invalidCol(col("status")), 1).otherwise(0))
               .as("failures"))
           .withColumn("batch", lit(batch))
-        metrics =
-          if (metrics.isEmpty) batchMetrics
-          else metrics.unionByName(batchMetrics)
+          .localCheckpoint(true)
 
         // new links: union of page links, feeds, entry links → admit → dedup
         val rawLinks = fetched
@@ -183,10 +192,12 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             col("entry_links"))).as("url"))
         val admitted = Frontier.admit(rawLinks, lit(batch + 1), lit(bt),
           config.saltBuckets)
-        val fresh =
+        val fresh0 =
           if (config.useBloom)
-            SeenSet.filterNewBloom(admitted, seen, seen.count())
+            SeenSet.filterNewWithBloom(admitted, seen, bloom)
           else SeenSet.filterNewExact(admitted, seen)
+        val fresh = fresh0.localCheckpoint(true)
+        if (config.useBloom) mergeBloom(fresh)
 
         // frontier state transitions
         val statusByUrl = fetched.select(col("url_hash"),
@@ -218,32 +229,29 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         frontier = transitioned.unionByName(fresh)
         seen = seen.unionByName(fresh.select("url", "url_hash"))
 
-        // truncate lineage each iteration; commit snapshots when a store
-        // is attached (resumable exactly from any batch)
+        // truncate state lineage each iteration; commit snapshots when a
+        // store is attached (resumable exactly from any batch)
         store match {
           case Some(s) =>
             val lineage = Map("batch" -> batch.toString,
               "dequeued" -> n.toString)
             s.commit("frontier", batch, frontier, lineage)
             s.commit("seen", batch, seen, lineage)
-            s.commit("crawl_log", batch, crawlLog, lineage)
+            s.commit("crawl_log", batch, unionAll(logParts.toSeq), lineage)
             frontier = s.read(spark, "frontier", Some(batch)).get
             seen = s.read(spark, "seen", Some(batch)).get
-            crawlLog = s.read(spark, "crawl_log", Some(batch)).get
           case None =>
             frontier = frontier.localCheckpoint(true)
             seen = seen.localCheckpoint(true)
-            crawlLog = crawlLog.localCheckpoint(true)
         }
-        pages = pages.localCheckpoint(true)
-        images = images.localCheckpoint(true)
-        metrics = metrics.localCheckpoint(true)
         fetched.unpersist()
         gated.unpersist()
       }
       dequeued.unpersist()
     }
-    CrawlResult(frontier, seen, crawlLog, pages, images, metrics)
+    CrawlResult(frontier, seen, unionAll(logParts.toSeq),
+      unionAll(pageParts.toSeq), unionAll(imageParts.toSeq),
+      unionAll(metricParts.toSeq))
   }
 }
 

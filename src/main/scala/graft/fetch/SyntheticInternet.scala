@@ -24,7 +24,10 @@ final case class SyntheticConfig(
     nSites: Int = 10,
     pagesPerSite: Int = 8,
     imagesPerSite: Int = 4,
-    itemsPerFeed: Int = 5)
+    itemsPerFeed: Int = 5,
+    /** body paragraphs per content page — sized so a synthetic page costs
+      * roughly what parsing a real ~50 KB web page costs */
+    bodyParagraphs: Int = 0)
 
 final case class SyntheticResponse(
     status: Int,
@@ -163,7 +166,8 @@ $images
 """
   }
 
-  /** Content page: seeded subset of sibling links + a cross-site link. */
+  /** Content page: seeded subset of sibling links + a cross-site link +
+    * optional body bulk (so per-page parse cost matches real HTML). */
   private def contentPage(k: Int, j: Int): String = {
     val h = mix(config.seed, s"site-$k-page-$j")
     val siblings = (0 until config.pagesPerSite)
@@ -171,6 +175,14 @@ $images
       .map(s => s"""      <a href="/page/$s">sibling $s</a>""").mkString("\n")
     val cross = (math.abs(h) % config.nSites).toInt
     val published = s"2024-0${1 + (math.abs(h) % 9)}-1${math.abs(h >> 8) % 9}"
+    val body =
+      if (config.bodyParagraphs <= 0) ""
+      else (0 until config.bodyParagraphs).map { p =>
+        val hp = mix(h, p.toString)
+        val words = (0 until 80).map(w =>
+          wordTable(((hp >> (w % 56)) & 0x3f).toInt ^ (w & 0x3f)))
+        s"      <p>${words.mkString(" ")}</p>"
+      }.mkString("\n")
     s"""<html lang="en">
 <head>
   <title>Site $k page $j</title>
@@ -181,9 +193,18 @@ $images
 $siblings
       <a href="https://site-$cross.test/">cross link</a>
       <a href="/">home</a>
+$body
 </body>
 </html>
 """
+  }
+
+  private val wordTable: IndexedSeq[String] = {
+    val syllables = Vector("ba", "de", "ki", "lo", "mu", "na", "po", "ra",
+      "se", "ti", "vu", "wa", "ze", "chi", "dro", "fal")
+    (0 until 64).map { i =>
+      syllables(i % 16) + syllables((i / 4) % 16) + syllables((i / 16) % 16)
+    }
   }
 
   /** RSS feed with one empty-`<link/>`-fallback entry per FIXTURES.md §2. */

@@ -32,6 +32,14 @@ object SeenSet {
     if (expectedSeen <= 0) return filterNewExact(candidates, seen)
     val bloom: BloomFilter =
       seen.stat.bloomFilter(col("url_hash"), math.max(expectedSeen, 1000L), fpp)
+    filterNewWithBloom(candidates, seen, bloom)
+  }
+
+  /** Same split with a caller-maintained filter — the crawl loop merges a
+    * per-batch filter of the fresh URLs into one accumulated filter instead
+    * of rescanning the whole seen table every iteration. */
+  def filterNewWithBloom(candidates: DataFrame, seen: DataFrame,
+      bloom: BloomFilter): DataFrame = {
     val spark = candidates.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
@@ -40,4 +48,9 @@ object SeenSet {
     val possiblySeen = cached.filter(mightContain(col("url_hash")))
     definitelyNew.unionByName(filterNewExact(possiblySeen, seen))
   }
+
+  /** An empty filter sized for the run's URL budget; per-batch filters
+    * built with the same parameters merge into it with `mergeInPlace`. */
+  def newBloom(expectedTotal: Long, fpp: Double = 0.01): BloomFilter =
+    BloomFilter.create(math.max(expectedTotal, 1000L), fpp)
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the headline queries — the
+  * pushdown/broadcast/codegen audit (not part of the driver contract).
+  * Run: sbt "runMain graft.Plans /root/testdata/sf0.01" */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("q01_agg", "q02_join_broadcast", "q03_anti_join", "q04_topk_window",
+      "q06_ordered_coalesce", "q11_dedup_exact", "q15_minhash_lsh",
+      "q18_ann_brute").foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -48,6 +48,10 @@ final case class CrawlConfig(
     saltBuckets: Int = 4,
     fetchPartitions: Int = 0, // 0 → spark.sql.shuffle.partitions
     useBloom: Boolean = true,
+    /** Bloom capacity — size to the run's URL budget; oversizing inflates
+      * the per-batch filter aggregation shuffled to the driver. */
+    bloomExpected: Long = 1L << 20,
+    verbose: Boolean = false,
     startTime: Instant = Instant.parse("2024-01-01T00:00:00Z"))
 
 final case class CrawlResult(
@@ -107,7 +111,7 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     val metricParts = mutable.ArrayBuffer[DataFrame]()
     // seen-set Bloom accelerator, merged incrementally (never rescans the
     // full seen table); fpp kept at 1% — false positives only cost a probe
-    val bloomExpected = 1L << 22
+    val bloomExpected = config.bloomExpected
     val bloom = SeenSet.newBloom(bloomExpected)
     // n.b. stat.bloomFilter NPEs on an empty input frame — guard every merge
     def mergeBloom(df: DataFrame): Unit =
@@ -120,13 +124,22 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       if (parts.isEmpty) spark.emptyDataFrame
       else parts.reduce(_ unionByName _)
 
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      if (config.verbose)
+        println(f"[crawl] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      out
+    }
+
     for (batch <- 0 until config.maxBatches) {
       val bt = batchTime(batch)
-      val dequeued =
-        Frontier.withCrawlSeq(
+      val (dequeued, n) = timed(s"b$batch dequeue") {
+        val d = Frontier.withCrawlSeq(
           Frontier.dequeue(frontier, lit(bt), config.perHostBudget))
           .persist()
-      val n = dequeued.count()
+        (d, d.count())
+      }
       if (n > 0) {
         // robots gate (J-2): evaluate allowance per row, driver-cached rules
         val hosts = dequeued.select("host").distinct().as[String].collect()
@@ -139,6 +152,7 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         }
         val gated = dequeued.withColumn("allowed",
           allowedUdf(col("host"), col("url"))).persist()
+        timed(s"b$batch robots-gate")(gated.count())
         val excluded = gated.filter(!col("allowed"))
         val toFetch = gated.filter(col("allowed"))
 
@@ -152,52 +166,56 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           .select("url", "url_hash", "host", "host_hash_salted", "seq")
           .repartition(parts, col("host_hash_salted"))
           .sortWithinPartitions("host", "seq")
-          .as[(String, Long, String, Long, Int)]
+          .as[(String, Long, String, Long, Long)]
           .mapPartitions { it =>
             CrawlLoop.fetchAndParse(it, internetL, cfg)
           }.persist()
+        timed(s"b$batch fetch+parse")(fetched.count())
 
         // crawl log rows for this batch (the crawl-order parity artifact)
-        logParts += fetched
+        logParts += timed(s"b$batch log-ckpt") { fetched
           .join(toFetch.select("url_hash", "seq"), Seq("url_hash"))
           .select(lit(batch).as("batch"), col("seq"), col("url"),
             col("status"), col("host"), col("crawl_time_ms"),
             col("content_type"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) }
 
-        pageParts += fetched.drop("links", "feeds", "entry_links",
+        pageParts += timed(s"b$batch pages-ckpt") { fetched.drop("links", "feeds", "entry_links",
           "image_bytes")
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true)
+          .localCheckpoint(true) }
 
-        imageParts += fetched.filter(col("is_image"))
+        imageParts += timed(s"b$batch images-ckpt") { fetched.filter(col("is_image"))
           .select(col("url"), col("image_bytes").as("bytes"))
           .withColumn("image_id",
             regexp_extract(col("url"), "/img/(img\\d+)\\.", 1))
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true)
+          .localCheckpoint(true) }
 
         // metrics rollup (A4)
-        metricParts += fetched.groupBy("host")
+        metricParts += timed(s"b$batch metrics-ckpt") { fetched.groupBy("host")
           .agg(count(lit(1)).as("fetches"),
             avg("crawl_time_ms").as("avg_crawl_time_ms"),
             sum(when(Statuses.invalidCol(col("status")), 1).otherwise(0))
               .as("failures"))
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true)
+          .localCheckpoint(true) }
 
         // new links: union of page links, feeds, entry links → admit → dedup
         val rawLinks = fetched
           .select(explode(concat(col("links"), col("feeds"),
             col("entry_links"))).as("url"))
         val admitted = Frontier.admit(rawLinks, lit(batch + 1), lit(bt),
-          config.saltBuckets)
+          config.saltBuckets).persist()
         val fresh0 =
           if (config.useBloom)
             SeenSet.filterNewWithBloom(admitted, seen, bloom)
           else SeenSet.filterNewExact(admitted, seen)
-        val fresh = fresh0.localCheckpoint(true)
-        if (config.useBloom) mergeBloom(fresh)
+        val fresh = timed(s"b$batch links-dedup")(fresh0.localCheckpoint(true))
+        admitted.unpersist()
+        timed(s"b$batch bloom-merge") {
+          if (config.useBloom) mergeBloom(fresh)
+        }
 
         // frontier state transitions
         val statusByUrl = fetched.select(col("url_hash"),
@@ -241,8 +259,10 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             frontier = s.read(spark, "frontier", Some(batch)).get
             seen = s.read(spark, "seen", Some(batch)).get
           case None =>
-            frontier = frontier.localCheckpoint(true)
-            seen = seen.localCheckpoint(true)
+            timed(s"b$batch state-ckpt") {
+              frontier = frontier.localCheckpoint(true)
+              seen = seen.localCheckpoint(true)
+            }
         }
         fetched.unpersist()
         gated.unpersist()
@@ -259,7 +279,7 @@ object CrawlLoop {
 
   /** Fused fetch + parse for one partition. Pure w.r.t. its inputs — the
     * only nondeterminism (crawl_time_ms) never feeds back into state. */
-  def fetchAndParse(it: Iterator[(String, Long, String, Long, Int)],
+  def fetchAndParse(it: Iterator[(String, Long, String, Long, Long)],
       internet: SyntheticInternet, config: CrawlConfig): Iterator[FetchedPage] = {
     val requests = it.map { case (url, urlHash, host, _, _) =>
       (FetchRequest.default(url).copy(delayS = config.delayS,

@@ -19,18 +19,25 @@ object Frontier {
   val isAnalyticsUdf = udf((url: String) => UrlKit.isAnalytics(url))
   val isLinkServiceUdf = udf((url: String) => UrlKit.isLinkService(url))
 
+  /** One fused pass per link: canonicalize then admission-check
+    * (is_web_link ∧ ¬analytics ∧ ¬link-service — P3, P13, P14); null when
+    * rejected. Fused because each separate predicate re-parses the URL. */
+  val admitUdf = udf { (url: String) =>
+    UrlKit.cleanedLink(url) match {
+      case Some(clean) if clean.nonEmpty && UrlKit.isWebLink(clean) &&
+        !UrlKit.isAnalytics(clean) && !UrlKit.isLinkService(clean) => clean
+      case _ => null
+    }
+  }
+
   /** Canonicalize + admission-filter raw links → frontier-shaped rows.
-    * Admission = is_web_link ∧ ¬analytics ∧ ¬link-service (P3, P13, P14).
     * `saltBuckets` spreads one hot host over N partitions; the dequeue
     * below still treats the host as one budget unit. */
   def admit(rawLinks: DataFrame, depth: Column, batchTime: Column,
       saltBuckets: Int = 4): DataFrame = {
     rawLinks
-      .withColumn("url", cleanUdf(col("url")))
-      .filter(col("url").isNotNull && col("url") =!= "")
-      .filter(isWebLinkUdf(col("url")))
-      .filter(!isAnalyticsUdf(col("url")))
-      .filter(!isLinkServiceUdf(col("url")))
+      .withColumn("url", admitUdf(col("url")))
+      .filter(col("url").isNotNull)
       .dropDuplicates("url")
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", domainOnlyUdf(col("url")))
@@ -63,10 +70,20 @@ object Frontier {
   }
 
   /** Global deterministic sequence for the crawl log: one number per batch
-    * over (priority desc, discovered_at, url_hash, url). */
+    * over (priority desc, discovered_at, url_hash, url). Implemented as a
+    * parallel range-partitioned sort + zipWithIndex — a global
+    * `row_number()` window would drag every row through one partition. */
   def withCrawlSeq(dequeued: DataFrame): DataFrame = {
-    val w = Window.orderBy(desc("priority"), col("discovered_at"),
+    val spark = dequeued.sparkSession
+    val sorted = dequeued.orderBy(desc("priority"), col("discovered_at"),
       col("url_hash"), col("url"))
-    dequeued.withColumn("seq", row_number().over(w))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rows, schema)
   }
 }

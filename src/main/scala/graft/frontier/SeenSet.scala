@@ -43,9 +43,10 @@ object SeenSet {
     val spark = candidates.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
-    val cached = candidates.persist()
-    val definitelyNew = cached.filter(!mightContain(col("url_hash")))
-    val possiblySeen = cached.filter(mightContain(col("url_hash")))
+    // candidates is read twice — callers pass a materialized (persisted or
+    // checkpointed) frame and own its lifecycle; persisting here would leak
+    val definitelyNew = candidates.filter(!mightContain(col("url_hash")))
+    val possiblySeen = candidates.filter(mightContain(col("url_hash")))
     definitelyNew.unionByName(filterNewExact(possiblySeen, seen))
   }
 

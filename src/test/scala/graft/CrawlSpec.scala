@@ -44,10 +44,10 @@ class CrawlSpec extends AnyFunSuite {
   }
 
   test("crawl order is deterministic across runs") {
-    def runOnce(): Seq[(Int, Int, String)] =
+    def runOnce(): Seq[(Int, Long, String)] =
       newLoop().run(Seq("https://site-0.test/"))
         .crawlLog.orderBy("batch", "seq")
-        .collect().map(r => (r.getAs[Int]("batch"), r.getAs[Int]("seq"),
+        .collect().map(r => (r.getAs[Int]("batch"), r.getAs[Long]("seq"),
           r.getAs[String]("url"))).toSeq
     val a = runOnce()
     val b = runOnce()

@@ -55,14 +55,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "200").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "120").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
 
     val spark = buildSession(cpus)
 
     // JIT warmup: the URL/parse hot paths need ~25k invocations
     crawlOnce(spark, scale, cpus)
     crawlOnce(spark, scale, cpus)
+    System.err.println("[bench] warmup done")
 
     def bestOf(slots: Int): (Long, Double) =
       (1 to reps).map(_ => crawlOnce(spark, scale, slots)).minBy(_._2)

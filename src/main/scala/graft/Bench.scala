@@ -56,7 +56,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "100").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // min-of-N protocol needs N≥3 to filter the sandbox's CPU-steal spikes
+    // (reps=1 produced a non-physical 2.16 "efficiency" in round 1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     val spark = buildSession(cpus)
 

@@ -5,22 +5,26 @@ import java.time.Instant
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.fetch.{FetchClient, SyntheticInternet, ImageKit}
+import graft.fetch.{FetchClient, SyntheticInternet}
 import graft.frontier.{Frontier, SeenSet}
-import graft.handlers.Handlers
+import graft.handlers.{Handlers, Social}
 import graft.http.{ContentTypes, Statuses}
 import graft.links.LinkExtractor
 import graft.model.{FetchRequest, FrontierRow}
-import graft.parse.{PageFactory, Hashing}
+import graft.parse.PageFactory
 import graft.robots.Robots
 import graft.store.SnapshotStore
 
 /** One fetched-and-parsed page — fetch and parse are fused inside the same
-  * partition so response bodies never cross a shuffle boundary. */
+  * partition so response bodies never cross a shuffle boundary. `url` is
+  * the frontier (request) URL; `final_url` the post-redirect location
+  * (reference: response.py:197-210 keeps both). */
 final case class FetchedPage(
     url: String,
+    final_url: String,
     url_hash: Long,
     host: String,
+    seq: Long,
     status: Int,
     content_type: String,
     crawl_time_ms: Long,
@@ -36,7 +40,14 @@ final case class FetchedPage(
     is_image: Boolean,
     image_bytes: Array[Byte],
     body_hash_hex: String,
-    errors: Seq[String])
+    errors: Seq[String],
+    social_thumbs_up: Option[Long],
+    social_thumbs_down: Option[Long],
+    social_view_count: Option[Long],
+    social_upvote_ratio: Option[Double],
+    social_rating: Option[Double],
+    social_followers: Option[Long],
+    social_upvote_diff: Option[Long])
 
 final case class CrawlConfig(
     maxBatches: Int = 5,
@@ -52,7 +63,24 @@ final case class CrawlConfig(
       * the per-batch filter aggregation shuffled to the driver. */
     bloomExpected: Long = 1L << 20,
     verbose: Boolean = false,
-    startTime: Instant = Instant.parse("2024-01-01T00:00:00Z"))
+    startTime: Instant = Instant.parse("2024-01-01T00:00:00Z"),
+    /** robots-gate UA — the reference checks the request's agent, not "*"
+      * (baseurl.py:221-223). */
+    userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) graft/1.0",
+    /** per-request total deadline (S3; crawlerinterface.py:253-259). */
+    timeoutS: Int = 20,
+    /** domain-rules LRU capacity (reference LRU(400), domaincache.py:176). */
+    robotsCacheSize: Int = 400,
+    /** enqueue robots.txt Sitemap URLs into the frontier (L7;
+      * domaincache.py:102-167 expands recursively — recursion here is the
+      * loop itself: sitemap pages get link-scanned like any page). */
+    expandSitemaps: Boolean = true,
+    /** side-fetch handler social APIs in the same partition (J-5;
+      * defaulturlhandler.py:145-207). */
+    fetchSocial: Boolean = true,
+    /** compact the pending-frontier delta parts every K batches; between
+      * compactions the per-batch state write is O(batch), not O(frontier). */
+    compactEvery: Int = 4)
 
 final case class CrawlResult(
     frontier: DataFrame,
@@ -63,54 +91,91 @@ final case class CrawlResult(
     metrics: DataFrame)
 
 /** The micro-batch crawl driver (SURVEY.md §7.3; north rule):
-  * per iteration — load snapshots, per-host priority dequeue, robots gate,
-  * host-partitioned fetch+parse, link extraction, two-tier dedup,
-  * re-enqueue, snapshot commit. Deterministic: batch time is derived from
-  * the batch number, the dequeue order is a total order, and extracted
-  * links are sorted before enqueue.
+  * per iteration — per-host priority dequeue, distributed robots
+  * refresh + broadcast gate, host-partitioned fetch+parse, link
+  * extraction, two-tier dedup, delta re-enqueue, snapshot commit.
+  *
+  * State is kept as append-only delta parts (pending rows + dequeued-key
+  * tombstones + terminal rows + seen increments), each checkpointed once
+  * when produced, compacted every `compactEvery` batches — the per-batch
+  * write cost is proportional to the batch, not to the frontier
+  * (10^10-frontier design scale). Deterministic: batch time derives from
+  * the batch number, the dequeue is a total order, extracted links are
+  * sorted before enqueue.
   */
 final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     config: CrawlConfig, store: Option[SnapshotStore] = None) {
 
   import spark.implicits._
 
-  private val robotsRules = mutable.Map[String, Robots.RobotRules]()
-
   private def batchTime(batch: Int): Timestamp =
     Timestamp.from(config.startTime.plusSeconds(60L * batch))
-
-  /** Fetch robots.txt for hosts not yet cached (driver-side cache across
-    * batches — the reference's LRU(400) singleton, domaincache.py:170-259;
-    * at cluster scale this map becomes a broadcast domain-rules table
-    * refreshed per batch, J-2). */
-  private def ensureRobots(hosts: Seq[String]): Unit = {
-    hosts.filterNot(robotsRules.contains).foreach { host =>
-      val resp = internet.get(s"https://$host/robots.txt")
-      val contents = resp.text.getOrElse("")
-      robotsRules(host) =
-        if (resp.status == 200) Robots.parse(contents)
-        else Robots.RobotRules(Seq.empty, Seq.empty)
-    }
-  }
 
   /** Seeds → initial frontier (batch 0). */
   def seedFrontier(seeds: Seq[String]): DataFrame = {
     val raw = seeds.toDF("url")
     Frontier.admit(raw, lit(0), lit(batchTime(0)), config.saltBuckets)
+      .withColumn("ver", lit(0))
+  }
+
+  /** Distributed robots.txt fetch for hosts with no cached rules — robots
+    * URLs are ordinary fetch work through the same per-partition client
+    * (J-2; replaces the reference's driver-singleton DomainCache,
+    * domaincache.py:170-259). Returns (host, robots_txt, robots_status). */
+  private def fetchRobots(missingHosts: Dataset[String],
+      batch: Int): DataFrame = {
+    val internetL = internet
+    val timeoutS = config.timeoutS
+    val ua = config.userAgent
+    missingHosts.mapPartitions { hosts =>
+      hosts.map { host =>
+        val req = FetchRequest.default(s"https://$host/robots.txt")
+          .copy(timeoutS = timeoutS, userAgent = ua)
+        val resp = FetchClient.fetchOne(req, internetL)
+        (host,
+          if (resp.status == 200) resp.text.getOrElse("") else "",
+          resp.status)
+      }
+    }.toDF("host", "robots_txt", "robots_status")
+      .withColumn("fetched_batch", lit(batch))
+      .localCheckpoint(true)
   }
 
   def run(seeds: Seq[String]): CrawlResult = {
-    var frontier = seedFrontier(seeds).localCheckpoint(true)
-    var seen = frontier.select("url", "url_hash")
-    // accumulated outputs are kept as per-batch increments, each
-    // checkpointed once — re-checkpointing the growing union every batch
-    // would be O(batches²)
+    // ---- delta state ---------------------------------------------------
+    // pending = union(pendingParts) minus dequeued (url_hash, ver) keys;
+    // every part is checkpointed exactly once when appended
+    val pendingParts = mutable.ArrayBuffer[DataFrame]()
+    val dequeuedKeyParts = mutable.ArrayBuffer[DataFrame]()
+    val doneParts = mutable.ArrayBuffer[DataFrame]()
+    val seenParts = mutable.ArrayBuffer[DataFrame]()
     val logParts = mutable.ArrayBuffer[DataFrame]()
     val pageParts = mutable.ArrayBuffer[DataFrame]()
     val imageParts = mutable.ArrayBuffer[DataFrame]()
     val metricParts = mutable.ArrayBuffer[DataFrame]()
-    // seen-set Bloom accelerator, merged incrementally (never rescans the
-    // full seen table); fpp kept at 1% — false positives only cost a probe
+
+    def unionAll(parts: Seq[DataFrame]): DataFrame =
+      if (parts.isEmpty) spark.emptyDataFrame
+      else parts.reduce(_ unionByName _)
+
+    def pendingView: DataFrame = {
+      val base = unionAll(pendingParts.toSeq)
+      if (dequeuedKeyParts.isEmpty) base
+      else base.join(unionAll(dequeuedKeyParts.toSeq),
+        Seq("url_hash", "ver"), "left_anti")
+    }
+    def seenView: DataFrame = unionAll(seenParts.toSeq)
+    def frontierView: DataFrame =
+      if (doneParts.isEmpty) pendingView
+      else unionAll(doneParts.toSeq).unionByName(pendingView)
+
+    val seeded = seedFrontier(seeds).localCheckpoint(true)
+    pendingParts += seeded
+    seenParts += seeded.select("url", "url_hash")
+
+    // seen-set Bloom accelerator, merged incrementally from per-batch
+    // deltas (never rescans the full seen table); false positives only
+    // cost an exact-join probe
     val bloomExpected = config.bloomExpected
     val bloom = SeenSet.newBloom(bloomExpected)
     // n.b. stat.bloomFilter NPEs on an empty input frame — guard every merge
@@ -118,11 +183,13 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       if (df.head(1).nonEmpty)
         bloom.mergeInPlace(
           df.stat.bloomFilter(col("url_hash"), bloomExpected, 0.01))
-    mergeBloom(seen)
+    mergeBloom(seeded)
 
-    def unionAll(parts: Seq[DataFrame]): DataFrame =
-      if (parts.isEmpty) spark.emptyDataFrame
-      else parts.reduce(_ unionByName _)
+    // accumulated domain rules (host, robots_txt, robots_status,
+    // fetched_batch), broadcast-joined per batch; LRU-capped like the
+    // reference's DomainCache(400)
+    var domainRules: Option[DataFrame] = None
+    var domainRulesCount = 0L
 
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -136,140 +203,219 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       val bt = batchTime(batch)
       val (dequeued, n) = timed(s"b$batch dequeue") {
         val d = Frontier.withCrawlSeq(
-          Frontier.dequeue(frontier, lit(bt), config.perHostBudget))
+          Frontier.dequeue(pendingView, lit(bt), config.perHostBudget))
           .persist()
         (d, d.count())
       }
       if (n > 0) {
-        // robots gate (J-2): evaluate allowance per row, driver-cached rules
-        val hosts = dequeued.select("host").distinct().as[String].collect()
-        if (config.respectRobots) ensureRobots(hosts.toSeq)
-        val rulesBc = spark.sparkContext.broadcast(robotsRules.toMap)
-        val respectRobots = config.respectRobots
-        val allowedUdf = udf { (host: String, url: String) =>
-          !respectRobots ||
-            rulesBc.value.get(host).forall(_.canFetch("*", url))
+        // ---- distributed robots refresh (J-2) --------------------------
+        var sitemapUrls: Option[DataFrame] = None
+        if (config.respectRobots || config.expandSitemaps) {
+          val hostsNeeded = dequeued.select("host").distinct()
+          val missing = domainRules match {
+            case Some(rules) =>
+              hostsNeeded.join(rules.select("host"), Seq("host"), "left_anti")
+            case None => hostsNeeded
+          }
+          val newRules = timed(s"b$batch robots-fetch") {
+            fetchRobots(missing.as[String], batch)
+          }
+          domainRulesCount += newRules.count()
+          var merged = domainRules match {
+            case Some(rules) => rules.unionByName(newRules)
+            case None        => newRules
+          }
+          // LRU semantics: keep the newest `robotsCacheSize` hosts
+          // (reference evicts by insert date, domaincache.py:244-259)
+          if (domainRulesCount > config.robotsCacheSize) {
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(desc("fetched_batch"), col("host"))
+            merged = merged.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= config.robotsCacheSize).drop("rn")
+              .localCheckpoint(true)
+            domainRulesCount = config.robotsCacheSize
+          }
+          domainRules = Some(merged)
+          if (config.expandSitemaps) {
+            val sitemapLinesUdf =
+              udf((txt: String) => Robots.sitemapLines(txt))
+            sitemapUrls = Some(newRules
+              .filter(col("robots_status") === 200)
+              .select(explode(sitemapLinesUdf(col("robots_txt")))
+                .as("url")))
+          }
         }
-        val gated = dequeued.withColumn("allowed",
-          allowedUdf(col("host"), col("url"))).persist()
-        timed(s"b$batch robots-gate")(gated.count())
-        val excluded = gated.filter(!col("allowed"))
+
+        // ---- robots gate: broadcast rules join + allow UDF --------------
+        val gated =
+          if (config.respectRobots && domainRules.nonEmpty) {
+            val ua = config.userAgent
+            val allowedUdf = udf { (txt: String, url: String) =>
+              txt == null || txt.isEmpty || Robots.allows(txt, ua, url)
+            }
+            dequeued
+              .join(broadcast(domainRules.get.select("host", "robots_txt")),
+                Seq("host"), "left")
+              .withColumn("allowed", allowedUdf(col("robots_txt"), col("url")))
+              .drop("robots_txt")
+          } else dequeued.withColumn("allowed", lit(true))
         val toFetch = gated.filter(col("allowed"))
 
-        // host-partitioned, deterministically ordered fetch+parse (J-3)
+        // ---- host-partitioned, deterministically ordered fetch+parse ----
         val parts =
           if (config.fetchPartitions > 0) config.fetchPartitions
           else spark.sessionState.conf.numShufflePartitions
         val internetL = internet
         val cfg = config
-        val fetched: Dataset[FetchedPage] = toFetch
-          .select("url", "url_hash", "host", "host_hash_salted", "seq")
-          .repartition(parts, col("host_hash_salted"))
-          .sortWithinPartitions("host", "seq")
-          .as[(String, Long, String, Long, Long)]
-          .mapPartitions { it =>
-            CrawlLoop.fetchAndParse(it, internetL, cfg)
-          }.persist()
-        timed(s"b$batch fetch+parse")(fetched.count())
+        val fetched: Dataset[FetchedPage] = timed(s"b$batch fetch+parse") {
+          toFetch
+            .select("url", "url_hash", "host", "host_hash_salted", "seq")
+            .repartition(parts, col("host_hash_salted"))
+            .sortWithinPartitions("host", "seq")
+            .as[(String, Long, String, Long, Long)]
+            .mapPartitions { it =>
+              CrawlLoop.fetchAndParse(it, internetL, cfg)
+            }.localCheckpoint(true) // the ONE materialization of the batch
+        }
 
-        // crawl log rows for this batch (the crawl-order parity artifact)
-        logParts += timed(s"b$batch log-ckpt") { fetched
-          .join(toFetch.select("url_hash", "seq"), Seq("url_hash"))
+        // per-batch outputs are lazy views over the checkpointed batch
+        logParts += fetched
           .select(lit(batch).as("batch"), col("seq"), col("url"),
-            col("status"), col("host"), col("crawl_time_ms"),
-            col("content_type"))
-          .localCheckpoint(true) }
-
-        pageParts += timed(s"b$batch pages-ckpt") { fetched.drop("links", "feeds", "entry_links",
-          "image_bytes")
+            col("final_url"), col("status"), col("host"),
+            col("crawl_time_ms"), col("content_type"))
+        pageParts += fetched
+          .drop("links", "feeds", "entry_links", "image_bytes")
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true) }
-
-        imageParts += timed(s"b$batch images-ckpt") { fetched.filter(col("is_image"))
+        imageParts += fetched.filter(col("is_image"))
           .select(col("url"), col("image_bytes").as("bytes"))
           .withColumn("image_id",
             regexp_extract(col("url"), "/img/(img\\d+)\\.", 1))
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true) }
-
-        // metrics rollup (A4)
-        metricParts += timed(s"b$batch metrics-ckpt") { fetched.groupBy("host")
+        // metrics rollup (A4) + approximate distinct monitoring (A5)
+        metricParts += fetched.groupBy("host")
           .agg(count(lit(1)).as("fetches"),
             avg("crawl_time_ms").as("avg_crawl_time_ms"),
             sum(when(Statuses.invalidCol(col("status")), 1).otherwise(0))
-              .as("failures"))
+              .as("failures"),
+            approx_count_distinct(col("url_hash")).as("approx_distinct_urls"))
           .withColumn("batch", lit(batch))
-          .localCheckpoint(true) }
 
-        // new links: union of page links, feeds, entry links → admit → dedup
+        // ---- new links: pages ∪ feeds ∪ entries ∪ sitemap URLs → admit →
+        //      two-tier dedup → pending delta -----------------------------
         val rawLinks = fetched
           .select(explode(concat(col("links"), col("feeds"),
             col("entry_links"))).as("url"))
-        val admitted = Frontier.admit(rawLinks, lit(batch + 1), lit(bt),
+        val allRaw = sitemapUrls match {
+          case Some(sm) => rawLinks.unionByName(sm)
+          case None     => rawLinks
+        }
+        val admitted = Frontier.admit(allRaw, lit(batch + 1), lit(bt),
           config.saltBuckets).persist()
+        val seen = seenView
         val fresh0 =
-          if (config.useBloom)
-            SeenSet.filterNewWithBloom(admitted, seen, bloom)
+          if (config.useBloom) SeenSet.filterNewWithBloom(admitted, seen, bloom)
           else SeenSet.filterNewExact(admitted, seen)
-        val fresh = timed(s"b$batch links-dedup")(fresh0.localCheckpoint(true))
+        val fresh = timed(s"b$batch links-dedup") {
+          fresh0.withColumn("ver", lit(batch + 1)).localCheckpoint(true)
+        }
         admitted.unpersist()
+
+        // redirect targets enter the seen set under their canonical form —
+        // the reference processed the final URL's response, so the engine
+        // must never re-fetch it (response.py:197-210)
+        val cleanUdf = Frontier.cleanUdf
+        val redirected = fetched
+          .filter(col("final_url") =!= col("url"))
+          .select(cleanUdf(col("final_url")).as("url"))
+          .filter(col("url").isNotNull)
+          .dropDuplicates("url")
+          .withColumn("url_hash", xxhash64(col("url")))
+          .join(seen.select("url_hash", "url"), Seq("url_hash", "url"),
+            "left_anti")
+          .join(fresh.select("url_hash", "url"), Seq("url_hash", "url"),
+            "left_anti")
+        val seenDelta = timed(s"b$batch seen-delta") {
+          fresh.select("url", "url_hash").unionByName(redirected)
+            .localCheckpoint(true)
+        }
+        seenParts += seenDelta
         timed(s"b$batch bloom-merge") {
-          if (config.useBloom) mergeBloom(fresh)
+          if (config.useBloom) mergeBloom(seenDelta)
         }
 
-        // frontier state transitions
-        val statusByUrl = fetched.select(col("url_hash"),
+        // ---- state transition: only this batch's dequeued rows ----------
+        val statusByHash = fetched.select(col("url_hash"),
           col("status").as("fetch_status"))
-        val transitioned = frontier
-          .join(excluded.select(col("url_hash").as("ex_hash")),
-            col("url_hash") === col("ex_hash"), "left")
-          .join(statusByUrl, Seq("url_hash"), "left")
-          .withColumn("state",
-            when(col("ex_hash").isNotNull, FrontierRow.StateExcluded)
-              .when(col("fetch_status").isNotNull &&
-                Statuses.retryCol(col("fetch_status")) &&
-                col("tries") + 1 < config.maxTries, FrontierRow.StatePending)
-              .when(col("fetch_status").isNotNull &&
-                Statuses.invalidCol(col("fetch_status")),
-                FrontierRow.StateFailed)
-              .when(col("fetch_status").isNotNull, FrontierRow.StateFetched)
-              .otherwise(col("state")))
-          .withColumn("tries",
-            when(col("fetch_status").isNotNull &&
-              Statuses.retryCol(col("fetch_status")),
-              col("tries") + 1).otherwise(col("tries")))
-          .withColumn("not_before",
-            when(col("state") === FrontierRow.StatePending &&
-              col("fetch_status").isNotNull,
-              lit(batchTime(batch + 1))).otherwise(col("not_before")))
-          .drop("ex_hash", "fetch_status")
+        val transitioned = timed(s"b$batch transition") {
+          gated
+            .join(statusByHash, Seq("url_hash"), "left")
+            .withColumn("state",
+              when(!col("allowed"), FrontierRow.StateExcluded)
+                .when(col("fetch_status").isNotNull &&
+                  Statuses.retryCol(col("fetch_status")) &&
+                  col("tries") + 1 < config.maxTries, FrontierRow.StatePending)
+                .when(col("fetch_status").isNotNull &&
+                  Statuses.invalidCol(col("fetch_status")),
+                  FrontierRow.StateFailed)
+                .when(col("fetch_status").isNotNull, FrontierRow.StateFetched)
+                .otherwise(col("state")))
+            .withColumn("tries",
+              when(col("fetch_status").isNotNull &&
+                Statuses.retryCol(col("fetch_status")),
+                col("tries") + 1).otherwise(col("tries")))
+            .withColumn("not_before",
+              when(col("state") === FrontierRow.StatePending &&
+                col("fetch_status").isNotNull,
+                lit(batchTime(batch + 1))).otherwise(col("not_before")))
+            .withColumn("old_ver", col("ver"))
+            .withColumn("ver", lit(batch + 1))
+            .drop("fetch_status", "allowed", "seq")
+            .localCheckpoint(true)
+        }
+        // tombstone the dequeued versions; re-enqueue retries under a new
+        // version so they survive the tombstone anti-join
+        dequeuedKeyParts += transitioned
+          .select(col("url_hash"), col("old_ver").as("ver"))
+        pendingParts += transitioned
+          .filter(col("state") === FrontierRow.StatePending).drop("old_ver")
+        doneParts += transitioned
+          .filter(col("state") =!= FrontierRow.StatePending).drop("old_ver")
+        pendingParts += fresh
 
-        frontier = transitioned.unionByName(fresh)
-        seen = seen.unionByName(fresh.select("url", "url_hash"))
-
-        // truncate state lineage each iteration; commit snapshots when a
-        // store is attached (resumable exactly from any batch)
         store match {
           case Some(s) =>
+            // durable mode: full snapshot per batch (time travel + exact
+            // resume); reading back also compacts the in-memory deltas
             val lineage = Map("batch" -> batch.toString,
               "dequeued" -> n.toString)
-            s.commit("frontier", batch, frontier, lineage)
-            s.commit("seen", batch, seen, lineage)
+            s.commit("frontier", batch, frontierView, lineage)
+            s.commit("seen", batch, seenView, lineage)
             s.commit("crawl_log", batch, unionAll(logParts.toSeq), lineage)
-            frontier = s.read(spark, "frontier", Some(batch)).get
-            seen = s.read(spark, "seen", Some(batch)).get
+            val fr = s.read(spark, "frontier", Some(batch)).get
+            pendingParts.clear()
+            pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
+            doneParts.clear()
+            doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
+            dequeuedKeyParts.clear()
+            seenParts.clear()
+            seenParts += s.read(spark, "seen", Some(batch)).get
           case None =>
-            timed(s"b$batch state-ckpt") {
-              frontier = frontier.localCheckpoint(true)
-              seen = seen.localCheckpoint(true)
+            // delta mode: compact the pending view every K batches — one
+            // O(|pending|) rewrite amortized over K O(batch) appends
+            if ((batch + 1) % config.compactEvery == 0) {
+              timed(s"b$batch compact") {
+                val compacted = pendingView.localCheckpoint(true)
+                pendingParts.clear()
+                pendingParts += compacted
+                dequeuedKeyParts.clear()
+              }
             }
         }
         fetched.unpersist()
-        gated.unpersist()
       }
       dequeued.unpersist()
     }
-    CrawlResult(frontier, seen, unionAll(logParts.toSeq),
+    CrawlResult(frontierView, seenView, unionAll(logParts.toSeq),
       unionAll(pageParts.toSeq), unionAll(imageParts.toSeq),
       unionAll(metricParts.toSeq))
   }
@@ -281,12 +427,11 @@ object CrawlLoop {
     * only nondeterminism (crawl_time_ms) never feeds back into state. */
   def fetchAndParse(it: Iterator[(String, Long, String, Long, Long)],
       internet: SyntheticInternet, config: CrawlConfig): Iterator[FetchedPage] = {
-    val requests = it.map { case (url, urlHash, host, _, _) =>
-      (FetchRequest.default(url).copy(delayS = config.delayS,
-        bytesLimit = config.bytesLimit), urlHash, host)
-    }
     val lastFetchNanos = scala.collection.mutable.Map[String, Long]()
-    requests.map { case (req, urlHash, host) =>
+    it.map { case (url, urlHash, host, _, seq) =>
+      val req = FetchRequest.default(url).copy(delayS = config.delayS,
+        bytesLimit = config.bytesLimit, timeoutS = config.timeoutS,
+        userAgent = config.userAgent)
       // handler dispatch may rewrite the URL before fetch (baseurl.py:305)
       val dispatched = Handlers.dispatch(req.url)
       val fetchUrl = dispatched.map(_.url).getOrElse(req.url)
@@ -302,6 +447,22 @@ object CrawlLoop {
       val resp = FetchClient.fetchOne(req.copy(url = fetchUrl), internet)
       if (req.delayS > 0) lastFetchNanos(host) = System.nanoTime()
 
+      // social-API side-fetch in the same partition (J-5; the reference
+      // fan-outs these on a thread pool, defaulturlhandler.py:183-207 —
+      // here they are just one more sequential request on the same host
+      // budget slot)
+      val social: Social.SocialData =
+        if (!config.fetchSocial) Social.SocialData()
+        else dispatched.flatMap(_.socialApiUrl) match {
+          case Some(api) =>
+            val sresp = FetchClient.fetchOne(req.copy(url = api), internet)
+            if (Statuses.isValid(sresp.status))
+              Social.forHandler(dispatched.get.name, api,
+                sresp.text.getOrElse(""))
+            else Social.SocialData()
+          case None => Social.SocialData()
+        }
+
       val isImage = ContentTypes.isImage(resp.headers)
       val parsed =
         if (Statuses.isValid(resp.status) && !isImage)
@@ -315,15 +476,23 @@ object CrawlLoop {
         case Some(PageFactory.ParsedOpml(entries, _)) => entries.map(_.url)
         case _ => Seq.empty
       }
+      // sitemap XML carries no recognized page type; the reference link-
+      // scans it like any content (domaincache.py:130-167)
+      val isSitemap = resp.text.exists(t =>
+        t.contains("<urlset") || t.contains("<sitemapindex"))
       val links: Seq[String] = parsed match {
         case Some(PageFactory.ParsedHtml(m)) =>
           LinkExtractor.extractLinksSorted(resp.url, m.contents).toSeq
+        case _ if isSitemap && Statuses.isValid(resp.status) =>
+          LinkExtractor.extractLinksSorted(resp.url, resp.text.get).toSeq
         case _ => Seq.empty
       }
       FetchedPage(
-        url = resp.url,
+        url = url,
+        final_url = resp.url,
         url_hash = urlHash,
         host = host,
+        seq = seq,
         status = resp.status,
         content_type = resp.recognizedContentType.getOrElse(""),
         crawl_time_ms = resp.crawlTimeMs,
@@ -339,7 +508,14 @@ object CrawlLoop {
         is_image = isImage,
         image_bytes = if (isImage) resp.body else Array.empty[Byte],
         body_hash_hex = meta.bodyHashHex.orNull,
-        errors = resp.errors)
+        errors = resp.errors,
+        social_thumbs_up = social.thumbsUp,
+        social_thumbs_down = social.thumbsDown,
+        social_view_count = social.viewCount,
+        social_upvote_ratio = social.derivedUpvoteRatio,
+        social_rating = social.rating,
+        social_followers = social.followersCount,
+        social_upvote_diff = social.derivedUpvoteDiff)
     }
   }
 }

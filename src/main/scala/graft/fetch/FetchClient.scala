@@ -36,13 +36,94 @@ object FetchClient {
     out.toSet
   }
 
+  /** Watchdog pool for the total-timeout guard (S3). The reference runs
+    * every fetch on a worker thread and `join(timeout_s+5)`s it, abandoning
+    * stuck reads (webtoolkit/crawlers/crawlerinterface.py:280-307). A cached
+    * daemon pool gives the same semantics without a fresh thread per URL:
+    * a timed-out task is cancelled with interrupt; if it is truly stuck the
+    * pool just grows by one abandoned thread, exactly like the reference. */
+  private lazy val watchdogPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-fetch-watchdog")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Total-timeout slack over the nominal request timeout. The reference
+    * uses +5 s because `requests` carries its own socket timeout; the
+    * synthetic internet has none, so a small fixed slack suffices. */
+  private val watchdogSlackMs = 200L
+
+  /** Run `body` under a deadline of `timeoutS` seconds (+slack); None on
+    * timeout (the reference's killed worker thread). */
+  private[fetch] def withDeadline[T](timeoutS: Int)(body: => T): Option[T] = {
+    if (timeoutS <= 0) return Some(body)
+    val fut = watchdogPool.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = body
+    })
+    try Some(fut.get(timeoutS * 1000L + watchdogSlackMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true) // interrupt; abandon if uninterruptible
+        None
+      case _: java.util.concurrent.ExecutionException => None
+    }
+  }
+
+  /** Redirect statuses `requests` follows automatically (3xx with a
+    * Location; the reference relies on requests' allow_redirects=True and
+    * records both final `url` and `request_url`, response.py:197-210). */
+  private val redirectStatuses = Set(301, 302, 303, 307, 308)
+  private val maxRedirects = 10
+
+  /** Per-service request mutation before fetch: the YouTube CONSENT cookie
+    * (reference: webtoolkit/handlers/handlerhttppage.py:84-98). */
+  def updateRequestForServices(req: FetchRequest): FetchRequest = {
+    val dom = graft.url.UrlKit.domainOnly(req.url).getOrElse("")
+    if (dom.contains("youtube.com") && !req.cookies.contains("CONSENT"))
+      req.copy(cookies =
+        req.cookies + ("CONSENT" -> "YES+cb.20210328-17-p0.en+F+678"))
+    else req
+  }
+
   /** One request against the synthetic internet, with the reference's
-    * guard order: status → byte limit → accept types → decode. */
-  def fetchOne(req: FetchRequest, internet: SyntheticInternet,
+    * guard order: status → byte limit → accept types → decode. Follows
+    * redirect chains; `url` is the final location, `requestUrl` the
+    * original (response.py:197-210). A fetch that exceeds `timeoutS` maps
+    * to the engine-internal 604 timeout status (statuses.py:42-49). */
+  def fetchOne(req0: FetchRequest, internet: SyntheticInternet,
       nowNanos: () => Long = () => System.nanoTime()): FetchResponse = {
+    val req = updateRequestForServices(req0)
     val t0 = nowNanos()
-    val raw = internet.get(req.url)
     val errors = mutable.ArrayBuffer[String]()
+
+    // fetch + redirect-follow under one total deadline (reference scope:
+    // the whole requests.get call, redirects included)
+    var finalUrl = req.url
+    val rawOpt: Option[SyntheticResponse] = withDeadline(req.timeoutS) {
+      var current = req.url
+      var resp = internet.get(current)
+      var hops = 0
+      while (redirectStatuses.contains(resp.status) && hops < maxRedirects &&
+          ContentTypes.redirectUrl(resp.headers).nonEmpty) {
+        val loc = ContentTypes.redirectUrl(resp.headers).get
+        current = graft.url.UrlKit.resolve(current, loc)
+        resp = internet.get(current)
+        hops += 1
+      }
+      finalUrl = current
+      resp
+    }
+    val raw = rawOpt.getOrElse {
+      errors += s"Timeout: ${req.timeoutS}s exceeded"
+      return FetchResponse(
+        url = req.url, requestUrl = req.url, status = Statuses.CodeTimeout,
+        headers = Map.empty, body = Array.empty, text = None,
+        encoding = "utf-8", errors = errors.toSeq,
+        crawlTimeMs = (nowNanos() - t0) / 1000000L,
+        recognizedContentType = None, bodyHash = None)
+    }
 
     var status = raw.status
     var body: Array[Byte] = raw.body
@@ -96,7 +177,7 @@ object FetchClient {
     }
 
     FetchResponse(
-      url = req.url,
+      url = finalUrl,
       requestUrl = req.url,
       status = status,
       headers = raw.headers,

@@ -27,7 +27,16 @@ final case class SyntheticConfig(
     itemsPerFeed: Int = 5,
     /** body paragraphs per content page — sized so a synthetic page costs
       * roughly what parsing a real ~50 KB web page costs */
-    bodyParagraphs: Int = 0)
+    bodyParagraphs: Int = 0,
+    /** how long https://slow.test stalls before answering — exercises the
+      * S3 total-timeout watchdog (crawlerinterface.py:280-307) */
+    slowDelayMs: Long = 3000L,
+    /** serve the social-handler fixture hosts (youtube / reddit / HN /
+      * their JSON APIs) — off by default so site-N crawls stay minimal */
+    socialSites: Boolean = false,
+    /** serve /sitemap.xml (sitemapindex → urlset, incl. an orphan page
+      * reachable only through the sitemap) — L7 recursive expansion */
+    sitemaps: Boolean = true)
 
 final case class SyntheticResponse(
     status: Int,
@@ -66,7 +75,14 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
         else 404
       textResponse(code, "text/html", s"<html><body>status $code</body></html>")
     } else if (url.startsWith("https://slow.test")) {
-      SyntheticResponse(604, Map.empty, Array.empty, None) // timeout path
+      // a genuinely stalled read: the fetch client's watchdog must cut it
+      // off and map it to the 604 timeout status (S3)
+      try Thread.sleep(config.slowDelayMs)
+      catch { case _: InterruptedException => /* watchdog abandoned us */ }
+      textResponse(200, "text/html",
+        "<html><head><title>slow</title></head><body>finally</body></html>")
+    } else if (config.socialSites && socialResponse(url).nonEmpty) {
+      socialResponse(url).get
     } else if (url.startsWith("https://big.test")) {
       // header says 10 MB — the byte-limit guard must reject before body
       SyntheticResponse(200,
@@ -81,12 +97,39 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
 
   def siteRoot(k: Int): String = s"https://site-$k.test"
 
+  private def redirect(status: Int, location: String): SyntheticResponse =
+    SyntheticResponse(status,
+      Map("Location" -> location, "Content-Length" -> "0"),
+      Array.empty, None)
+
   private def sitePath(k: Int, path: String, url: String): SyntheticResponse =
     path match {
       case "" | "/" => textResponse(200, "text/html", rootPage(k))
       case "/feed" =>
         textResponse(200, "application/rss+xml", feedPage(k))
       case "/robots.txt" => textResponse(200, "text/plain", robotsTxt(k))
+      // 301/302 chains — the redirect-following parity surface
+      // (reference behavior: requests follows, response.py:197-210)
+      case p if p.startsWith("/moved/") =>
+        redirect(301, s"/page/${p.substring("/moved/".length)}")
+      case "/hop" => redirect(302, "/moved/0")
+      // /target is reachable ONLY through this redirect — exercises the
+      // final-URL seen-set credit (never re-fetched once redirected to)
+      case "/alias" => redirect(301, "/target")
+      case "/target" =>
+        textResponse(200, "text/html",
+          s"""<html lang="en"><head><title>Target of site $k</title>
+             |<meta name="description" content="redirect-only page" />
+             |</head><body>target</body></html>""".stripMargin)
+      case "/sitemap.xml" if config.sitemaps =>
+        textResponse(200, "application/xml", sitemapIndex(k))
+      case "/sitemap-pages.xml" if config.sitemaps =>
+        textResponse(200, "application/xml", sitemapPages(k))
+      case "/orphan" if config.sitemaps =>
+        textResponse(200, "text/html",
+          s"""<html lang="en"><head><title>Orphan of site $k</title>
+             |<meta name="description" content="reachable only via sitemap" />
+             |</head><body>orphan</body></html>""".stripMargin)
       case p if p.startsWith("/page/") =>
         p.substring("/page/".length).toIntOption match {
           case Some(j) if j >= 0 && j < config.pagesPerSite =>
@@ -161,6 +204,9 @@ $pages
 $images
       <a href="https://site-$next.test/">next site</a>
       <a href="/private/secret">private area</a>
+      <a href="/moved/1">old page 1 location</a>
+      <a href="/hop">double hop</a>
+      <a href="/alias">aliased page</a>
 </body>
 </html>
 """
@@ -238,5 +284,86 @@ $items
 Disallow: /private/
 ${extra}Sitemap: https://site-$k.test/sitemap.xml
 """
+  }
+
+  /** Sitemap index → child urlset (recursion per sitemaps.org protocol;
+    * the reference expands these via its link scan, domaincache.py:130-167). */
+  private def sitemapIndex(k: Int): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://site-$k.test/sitemap-pages.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+  /** Child urlset: all pages plus /orphan (reachable only from here). */
+  private def sitemapPages(k: Int): String = {
+    val urls = ((0 until config.pagesPerSite)
+      .map(j => s"https://site-$k.test/page/$j") :+
+      s"https://site-$k.test/orphan")
+      .map(u => s"  <url><loc>$u</loc></url>").mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+$urls
+</urlset>
+"""
+  }
+
+  // ----------------------------------------------- social fixture hosts
+
+  /** Deterministic social-web corner: a seed page linking to a YouTube
+    * video, a YouTube @handle channel, a Reddit post and an HN item, plus
+    * the JSON APIs their handlers side-fetch (J-5 / §2.9 two-phase). */
+  private def socialResponse(url: String): Option[SyntheticResponse] = {
+    val u = if (url.endsWith("/")) url.dropRight(1) else url
+    u match {
+      case "https://social.test" =>
+        Some(textResponse(200, "text/html",
+          """<html lang="en"><head><title>Social hub</title></head><body>
+            |  <a href="https://www.youtube.com/watch?v=vidA">a video</a>
+            |  <a href="https://www.youtube.com/@handletest">a channel</a>
+            |  <a href="https://www.reddit.com/r/test/comments/p1/title">a post</a>
+            |  <a href="https://news.ycombinator.com/item?id=99">an item</a>
+            |</body></html>""".stripMargin))
+      case "https://www.youtube.com/watch?v=vidA" =>
+        Some(textResponse(200, "text/html",
+          """<html lang="en"><head><title>Video A - YouTube</title>
+            |<meta property="og:title" content="Video A" />
+            |</head><body>video page</body></html>""".stripMargin))
+      case "https://returnyoutubedislikeapi.com/votes?videoId=vidA" =>
+        Some(textResponse(200, "application/json",
+          """{"id":"vidA","likes":100,"dislikes":10,"viewCount":5000,"rating":4.5}"""))
+      case "https://www.youtube.com/@handletest" =>
+        // name-form channel: feed only discoverable from the page HTML —
+        // the two-phase fetch round (handlerchannelyoutube.py:107-114)
+        Some(textResponse(200, "text/html",
+          """<html lang="en"><head><title>Handle Test - YouTube</title>
+            |<link rel="alternate" type="application/rss+xml" href="https://www.youtube.com/feeds/videos.xml?channel_id=UChandle123" />
+            |</head><body>channel page</body></html>""".stripMargin))
+      case "https://www.youtube.com/feeds/videos.xml?channel_id=UChandle123" =>
+        Some(textResponse(200, "application/rss+xml",
+          """<?xml version="1.0" encoding="UTF-8"?>
+            |<rss version="2.0"><channel>
+            |  <title>Handle Test channel</title>
+            |  <link>https://www.youtube.com/channel/UChandle123</link>
+            |  <item><title>Handle video</title><link>https://www.youtube.com/watch?v=vidA</link></item>
+            |</channel></rss>""".stripMargin))
+      case "https://www.reddit.com/r/test/comments/p1/title" =>
+        Some(textResponse(200, "text/html",
+          """<html lang="en"><head><title>A reddit post</title></head>
+            |<body>post body</body></html>""".stripMargin))
+      case "https://www.reddit.com/p1.json" =>
+        // reddit comment JSON is not strictly parseable (reference scans it
+        // by raw text, handlers.py:59-96) — serve a similarly messy blob
+        Some(textResponse(200, "application/json",
+          """[{"data": {"children": [{"kind": "t3", "data": {"upvote_ratio": 0.93, "score": 321, "ups": 321}}]}}]"""))
+      case "https://news.ycombinator.com/item?id=99" =>
+        Some(textResponse(200, "text/html",
+          """<html lang="en"><head><title>HN item 99</title></head>
+            |<body>story</body></html>""".stripMargin))
+      case "https://hacker-news.firebaseio.com/v0/item/99.json?print=pretty" =>
+        Some(textResponse(200, "application/json",
+          """{"by":"tester","id":99,"score":42,"descendants":7,"type":"story","title":"HN item 99"}"""))
+      case _ => None
+    }
   }
 }

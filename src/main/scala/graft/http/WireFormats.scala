@@ -36,9 +36,22 @@ object WireFormats {
     if (req.acceptTypes.nonEmpty)
       fields :+= "accept_types" -> JString(req.acceptTypes.mkString(","))
     fields :+= "bytes_limit" -> JInt(req.bytesLimit)
+    // field order mirrors request.py:179-197: proxies, settings, cookies
+    // between bytes_limit and crawler_name; client_id last
+    req.httpProxy.foreach(p => fields :+= "http_proxy" -> JString(p))
+    req.httpsProxy.foreach(p => fields :+= "https_proxy" -> JString(p))
+    if (req.settings.nonEmpty)
+      fields :+= "settings" -> JObject(req.settings.map { case (k, v) =>
+        k -> (JString(v): JValue)
+      }.toList)
+    if (req.cookies.nonEmpty)
+      fields :+= "cookies" -> JObject(req.cookies.map { case (k, v) =>
+        k -> (JString(v): JValue)
+      }.toList)
     if (req.crawlerName != null && req.crawlerName.nonEmpty)
       fields :+= "crawler_name" -> JString(req.crawlerName)
     req.handlerName.foreach(h => fields :+= "handler_name" -> JString(h))
+    req.clientId.foreach(c => fields :+= "client_id" -> JString(c))
     JObject(fields)
   }
 
@@ -75,15 +88,15 @@ object WireFormats {
       case _               => default
     }
     val url = str("url").getOrElse(return None)
-    val headers = parsed \ "request_headers" match {
+    def strMap(k: String): Map[String, String] = parsed \ k match {
       case JObject(fs) =>
-        fs.collect { case (k, JString(v)) => k -> v }.toMap
+        fs.collect { case (name, JString(v)) => name -> v }.toMap
       case _ => Map.empty[String, String]
     }
     Some(FetchRequest(
       url = url,
       userAgent = str("User-Agent").orNull,
-      requestHeaders = headers,
+      requestHeaders = strMap("request_headers"),
       timeoutS = int("timeout_s", 20),
       delayS = int("delay_s", 0),
       requestType = str("request_type").getOrElse(FetchRequest.TypeFull),
@@ -92,8 +105,13 @@ object WireFormats {
       acceptTypes = str("accept_types").map(_.split(",").toSeq)
         .getOrElse(Seq.empty),
       bytesLimit = long("bytes_limit", 5000000L),
+      httpProxy = str("http_proxy"),
+      httpsProxy = str("https_proxy"),
+      settings = strMap("settings"),
+      cookies = strMap("cookies"),
       crawlerName = str("crawler_name").orNull,
-      handlerName = str("handler_name")))
+      handlerName = str("handler_name"),
+      clientId = str("client_id")))
   }
 
   /** GET-param encoding of a request (request.py:264-270). */
@@ -220,4 +238,22 @@ object WireFormats {
       recognizedContentType = str("Recognized-Content-Type"),
       bodyHash = bodyHash))
   }
+
+  // -------------------------------------------------- file IO (S10)
+  // Single-record JSON files (reference: webtoolkit/response.py:640-666,
+  // webtoolkit/request.py:293-319) — the golden-fixture interchange format.
+
+  def requestToFile(req: FetchRequest, path: java.nio.file.Path): Unit =
+    java.nio.file.Files.writeString(path, requestToJsonString(req))
+
+  def requestFromFile(path: java.nio.file.Path): Option[FetchRequest] =
+    if (!java.nio.file.Files.exists(path)) None
+    else jsonToRequest(java.nio.file.Files.readString(path))
+
+  def responseToFile(resp: FetchResponse, path: java.nio.file.Path): Unit =
+    java.nio.file.Files.writeString(path, responseToJsonString(resp))
+
+  def responseFromFile(path: java.nio.file.Path): Option[FetchResponse] =
+    if (!java.nio.file.Files.exists(path)) None
+    else jsonToResponse(java.nio.file.Files.readString(path))
 }

@@ -31,9 +31,11 @@ object Ann {
     if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
   }
 
-  /** Cosine rounded to 6 decimals — stable rank keys. */
+  /** Cosine floored to 6 decimals — stable rank keys, reproducible across
+    * engines (floor has no half-rounding mode; DuckDB mirrors it exactly
+    * for the q18 oracle). */
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    math.rint(cosine(a, b) * 1e6) / 1e6)
+    math.floor(cosine(a, b) * 1e6) / 1e6)
 
   /** Brute-force top-k: every (query, row) pair scored; deterministic
     * tiebreak on neighbor id. `queries` and `corpus` need (idCol, vecCol). */
@@ -51,16 +53,24 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Deterministic coarse centroids: a hash-ordered sample of `nCells`
-    * corpus vectors — spread across the id space regardless of how ids
-    * cluster (k-means refinement would drop in here). */
+  /** Deterministic coarse centroids without touching the whole corpus:
+    * a map-only hash prefilter keeps ~1/`sampleMod` of the rows, then a
+    * per-partition top-`nCells` by hash (TakeOrderedAndProject — NOT a
+    * global sort) picks the sample. Seeded by xxhash64 so the choice is
+    * stable across runs and partitionings; spread across the id space
+    * regardless of how ids cluster (k-means refinement would drop in
+    * here). Falls back to an unfiltered top-k only when the corpus is too
+    * small for the prefilter to yield `nCells` rows. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): Array[(Int, Seq[Float])] =
-    corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)))
-      .limit(nCells)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+      nCells: Int, sampleMod: Int = 64): Array[(Int, Seq[Float])] = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+    def topK(df: DataFrame) =
+      df.orderBy(col("h"), col("id")).limit(nCells).collect()
+    val sampled = topK(base.filter(pmod(col("h"), lit(sampleMod)) === 0))
+    val rows = if (sampled.length >= nCells) sampled else topK(base)
+    rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+  }
 
   /** IVF top-k: rows scored only in the query's `nProbe` nearest cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -57,29 +57,41 @@ object Dedup {
   val bandHashesUdf = udf((sig: Seq[Long], bands: Int) =>
     bandHashes(sig.toArray, bands))
 
-  /** MinHash-LSH candidate pairs: df(idCol, textCol) → (id_a, id_b) with
-    * id_a < id_b. Only sketches shuffle; bucket sizes stay small because a
-    * band collision already implies high similarity. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 16): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashUdf(col("text")))
-      .withColumn("band", explode(bandHashesUdf(col("sig"), lit(bands))))
-    val buckets = withSig.groupBy("band")
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(pairsOfUdf(col("ids"))).as("pair"))
-      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
-      .distinct()
+  /** Degenerate-bucket guard: a bucket of n members implies n(n-1)/2
+    * candidate pairs; empty/boilerplate documents — ubiquitous in web
+    * corpora — all collide into the same bucket and would explode
+    * quadratically. Buckets above the cap are dropped (and logged):
+    * *identical* documents are exact-dedup's job (q11), not LSH's. */
+  private def survivingBuckets(exploded: DataFrame, keyCol: String,
+      maxBucket: Int, op: String): DataFrame = {
+    val sizes = exploded.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val over = sizes.filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("buckets"), max(col("n")).as("largest")).head()
+    if (!over.isNullAt(0) && over.getLong(0) > 0)
+      println(s"[dedup] $op: dropped ${over.getLong(0)} degenerate " +
+        s"bucket(s) over $maxBucket members (largest ${over.getLong(1)}) — " +
+        "identical docs belong to exact dedup")
+    sizes.filter(col("n") > 1 && col("n") <= maxBucket).select(keyCol)
   }
 
-  val pairsOfUdf = udf((ids: Seq[Long]) => {
-    val sorted = ids.sorted
-    for {
-      i <- sorted.indices
-      j <- (i + 1) until sorted.length
-    } yield (sorted(i), sorted(j))
-  })
+  /** MinHash-LSH candidate pairs: df(idCol, textCol) → (id_a, id_b) with
+    * id_a < id_b. Only sketches shuffle; pairs come from a self-join on
+    * the band key (AQE can skew-split it), never from per-bucket row
+    * materialization. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val withBand = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashUdf(col("text")))
+      .withColumn("band", explode(bandHashesUdf(col("sig"), lit(bands))))
+      .select("id", "band")
+    val ok = survivingBuckets(withBand, "band", maxBucket, "minhash-lsh")
+    val capped = withBand.join(ok, Seq("band"))
+    capped.select(col("band"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** Candidates verified by exact shingle Jaccard ≥ threshold. The text
     * joins back only for the (rare) candidate rows. */
@@ -129,29 +141,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (two docs within
     * Hamming distance ≤ 3 of 64 bits must agree on at least one chunk),
-    * verify Hamming on candidates. */
+    * verify Hamming on the self-joined candidates via codegen'd
+    * `bit_count` — no pair UDF, no per-bucket row materialization. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withHash = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val chunked = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("simhash", simhashUdf(col("text")))
-    val chunked = withHash.select(col("id"), col("simhash"),
-      explode(chunksUdf(col("simhash"))).as("chunk"))
-    val buckets = chunked.groupBy("chunk")
-      .agg(collect_set(struct(col("id"), col("simhash"))).as("members"))
-      .filter(size(col("members")) > 1)
-    val maxH = maxHamming
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-      val sorted = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      for {
-        i <- sorted.indices
-        j <- (i + 1) until sorted.length
-        d = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
-        if d <= maxH
-      } yield (sorted(i)._1, sorted(j)._1, d)
-    })
-    buckets.select(explode(pairUdf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("hamming"))
+      .withColumn("chunk", explode(chunksUdf(col("simhash"))))
+      .select("id", "simhash", "chunk")
+    val ok = survivingBuckets(chunked, "chunk", maxBucket, "simhash")
+    val capped = chunked.join(ok, Seq("chunk"))
+    capped.select(col("chunk"), col("id").as("id_a"),
+        col("simhash").as("sh_a"))
+      .join(capped.select(col("chunk"), col("id").as("id_b"),
+        col("simhash").as("sh_b")), Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
       .distinct()
   }
 

@@ -24,8 +24,13 @@ final case class FetchRequest(
     respectRobots: Boolean,
     acceptTypes: Seq[String],
     bytesLimit: Long,
+    httpProxy: Option[String],
+    httpsProxy: Option[String],
+    settings: Map[String, String],
+    cookies: Map[String, String],
     crawlerName: String,
-    handlerName: Option[String])
+    handlerName: Option[String],
+    clientId: Option[String])
 
 object FetchRequest {
   val TypePing = "ping"
@@ -46,8 +51,13 @@ object FetchRequest {
     respectRobots = true,
     acceptTypes = Seq.empty,
     bytesLimit = 5000000L,
+    httpProxy = None,
+    httpsProxy = None,
+    settings = Map.empty,
+    cookies = Map.empty,
     crawlerName = "SyntheticCrawler",
-    handlerName = None)
+    handlerName = None,
+    clientId = None)
 }
 
 /** Fetch response (reference: webtoolkit/response.py:178-265). */

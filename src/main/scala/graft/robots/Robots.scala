@@ -106,6 +106,32 @@ object Robots {
     RobotRules(cleaned.toSeq, sitemaps.toSeq)
   }
 
+  /** Executor-local LRU of parsed rules keyed by the robots.txt body —
+    * the gate UDF receives the broadcast *text* per host (cheap to ship,
+    * columnar) and parses it at most once per executor (the reference's
+    * LRU(400) singleton, domaincache.py:170-259, re-expressed as local
+    * memoization behind a distributed rules table). */
+  private val parseCache =
+    new java.util.LinkedHashMap[String, RobotRules](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RobotRules]): Boolean = size > 512
+    }
+
+  def cachedParse(contents: String): RobotRules = parseCache.synchronized {
+    val hit = parseCache.get(contents)
+    if (hit != null) hit
+    else {
+      val parsed = parse(contents)
+      parseCache.put(contents, parsed)
+      parsed
+    }
+  }
+
+  /** The per-row gate: does `userAgent` get to fetch `url` under this
+    * robots.txt body? */
+  def allows(contents: String, userAgent: String, url: String): Boolean =
+    cachedParse(contents).canFetch(userAgent, url)
+
   /** Sitemap-line scan exactly as the reference does it by hand
     * (domaincache.py:82-101): any line containing "Sitemap", value after
     * the first ":". */

@@ -120,6 +120,107 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("redirects are followed: final_url differs, chains resolve") {
+    import org.apache.spark.sql.functions.col
+    val result = newLoop(CrawlConfig(maxBatches = 2))
+      .run(Seq("https://site-0.test/"))
+    val log = result.crawlLog.collect()
+    val moved = log.find(_.getAs[String]("url") == "https://site-0.test/moved/1")
+    assert(moved.nonEmpty, "the /moved/1 link was crawled")
+    assert(moved.get.getAs[String]("final_url") == "https://site-0.test/page/1")
+    assert(moved.get.getAs[Int]("status") == 200)
+    // 302 → 301 → 200 chain
+    val hop = log.find(_.getAs[String]("url") == "https://site-0.test/hop")
+    assert(hop.nonEmpty)
+    assert(hop.get.getAs[String]("final_url") == "https://site-0.test/page/0")
+  }
+
+  test("redirect target is credited into the seen set, never re-fetched") {
+    val result = newLoop(CrawlConfig(maxBatches = 4))
+      .run(Seq("https://site-0.test/"))
+    val seen = result.seen.collect().map(_.getAs[String]("url")).toSet
+    // /target is reachable only through the /alias 301
+    assert(seen.contains("https://site-0.test/target"))
+    val requested = result.crawlLog.collect().map(_.getAs[String]("url"))
+    assert(!requested.contains("https://site-0.test/target"),
+      "redirect-only target must never be dequeued as a request")
+    val aliasPage = result.pages
+      .filter(org.apache.spark.sql.functions.col("url") ===
+        "https://site-0.test/alias").collect()
+    assert(aliasPage.head.getAs[String]("final_url") ==
+      "https://site-0.test/target")
+    assert(aliasPage.head.getAs[String]("title") == "Target of site 0")
+  }
+
+  test("fetch deadline (S3): a stalled read maps to status 604") {
+    val slowNet = SyntheticInternet(SyntheticConfig(slowDelayMs = 3000L))
+    val req = graft.model.FetchRequest.default("https://slow.test/")
+      .copy(timeoutS = 1)
+    val t0 = System.nanoTime()
+    val resp = graft.fetch.FetchClient.fetchOne(req, slowNet)
+    val elapsedS = (System.nanoTime() - t0) / 1e9
+    assert(resp.status == graft.http.Statuses.CodeTimeout)
+    assert(resp.errors.exists(_.contains("Timeout")))
+    assert(elapsedS < 2.5, s"watchdog returned in ${elapsedS}s, not at 3s")
+    // and without the deadline pressure the same URL succeeds
+    val fastNet = SyntheticInternet(SyntheticConfig(slowDelayMs = 50L))
+    assert(graft.fetch.FetchClient.fetchOne(
+      graft.model.FetchRequest.default("https://slow.test/"), fastNet)
+      .status == 200)
+  }
+
+  test("sitemap URLs expand recursively into the frontier (L7)") {
+    val result = newLoop(CrawlConfig(maxBatches = 5))
+      .run(Seq("https://site-0.test/"))
+    val urls = result.crawlLog.collect().map(_.getAs[String]("url")).toSet
+    assert(urls.contains("https://site-0.test/sitemap.xml"))
+    assert(urls.contains("https://site-0.test/sitemap-pages.xml"),
+      "child sitemap found through the sitemap index")
+    assert(urls.contains("https://site-0.test/orphan"),
+      "sitemap-only page crawled")
+  }
+
+  test("social side-fetch + two-phase handle discovery end-to-end (J-5)") {
+    import org.apache.spark.sql.functions.col
+    val socialNet = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = 1, socialSites = true))
+    val loop = new CrawlLoop(spark, socialNet, CrawlConfig(maxBatches = 4))
+    val result = loop.run(Seq("https://social.test/"))
+    val pages = result.pages.collect()
+    def page(url: String) = pages.find(_.getAs[String]("url") == url)
+
+    val yt = page("https://www.youtube.com/watch?v=vidA")
+    assert(yt.nonEmpty, "youtube video page crawled")
+    assert(yt.get.getAs[Long]("social_thumbs_up") == 100L)
+    assert(yt.get.getAs[Long]("social_thumbs_down") == 10L)
+    assert(yt.get.getAs[Long]("social_view_count") == 5000L)
+    assert(math.abs(yt.get.getAs[Double]("social_upvote_ratio") -
+      100.0 / 110.0) < 1e-9)
+
+    val rd = page("https://www.reddit.com/r/test/comments/p1/title")
+    assert(rd.nonEmpty, "reddit post crawled")
+    assert(rd.get.getAs[Double]("social_upvote_ratio") == 0.93)
+    assert(rd.get.getAs[Double]("social_rating") == 321.0)
+
+    val hn = page("https://news.ycombinator.com/item?id=99")
+    assert(hn.nonEmpty, "hn item crawled")
+    assert(hn.get.getAs[Long]("social_upvote_diff") == 42L)
+
+    // two-phase @handle: feed only discoverable from the channel HTML,
+    // fetched in a later batch; channel code then derivable from the feed
+    val feedRow = result.crawlLog.filter(
+      col("url") === "https://www.youtube.com/feeds/videos.xml?channel_id=UChandle123")
+      .collect()
+    assert(feedRow.nonEmpty, "discovered channel feed fetched in round 2")
+    val handleBatch = result.crawlLog
+      .filter(col("url") === "https://www.youtube.com/@handletest")
+      .collect().head.getAs[Int]("batch")
+    assert(feedRow.head.getAs[Int]("batch") > handleBatch)
+    assert(graft.handlers.Handlers.youTubeChannelCode(
+      "https://www.youtube.com/feeds/videos.xml?channel_id=UChandle123")
+      .contains("UChandle123"))
+  }
+
   test("bloom-accelerated dedup matches exact dedup") {
     val exact = newLoop(CrawlConfig(maxBatches = 3, useBloom = false))
       .run(Seq("https://site-0.test/"))

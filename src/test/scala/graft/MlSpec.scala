@@ -53,6 +53,26 @@ class MlSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("degenerate buckets (5k identical docs) complete without pair blowup") {
+    import spark.implicits._
+    // 5000 identical boilerplate docs — one hot bucket per band; without
+    // the cap this is 12.5M candidate pairs in one key. The planted
+    // near-dup pair must still surface from its own (small) buckets.
+    val boiler = (100L until 5100L).map(i => (i, "lorem ipsum boilerplate page please enable javascript to continue"))
+    val docs = (Seq((1L, docA), (2L, docB), (3L, docC)) ++ boiler)
+      .toDF("doc_id", "text").repartition(4)
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // boilerplate pairs were dropped (they are exact dedup's job), so the
+    // result stays tiny instead of quadratic
+    assert(pairs.size < 100)
+    val sPairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sPairs.contains((1L, 2L)))
+    assert(sPairs.size < 100)
+  }
+
   test("ngram jaccard") {
     assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
       TextKit.charNgramHashes(docB, 3)) > 0.8)

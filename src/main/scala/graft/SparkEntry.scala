@@ -183,20 +183,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q17_ngram_jaccard" -> ((s, dir) => {
-      // candidate pairs from LSH, verified with character-3-gram Jaccard
+      // exact character-3-gram Jaccard over all pairs — the DuckDB-
+      // verifiable ground-truth form (list_intersect in the oracle). The
+      // 100 TB path is q15: LSH candidates + this same verifier on the
+      // candidate set only; this exact variant is what pins both.
       val df = withPlantedDups(ld(s, dir, "documents"), s)
-      val texts = df.select(col("doc_id").as("id"), col("text"))
-      val jac = udf((a: String, b: String) =>
-        TextKit.jaccard(TextKit.charNgramHashes(a, 3),
-          TextKit.charNgramHashes(b, 3)))
-      Dedup.lshCandidatePairs(df, "doc_id", "text")
-        .join(texts.withColumnRenamed("id", "id_a")
-          .withColumnRenamed("text", "text_a"), Seq("id_a"))
-        .join(texts.withColumnRenamed("id", "id_b")
-          .withColumnRenamed("text", "text_b"), Seq("id_b"))
-        .withColumn("jaccard3", jac(col("text_a"), col("text_b")))
+      val grams = udf((t: String) => TextKit.charNgramHashes(t, 3))
+      val texts = df.select(col("doc_id"), grams(col("text")).as("g"))
+      val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+        TextKit.jaccard(a.toArray, b.toArray))
+      texts.as("a").crossJoin(texts.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard3", jac(col("a.g"), col("b.g")))
         .filter(col("jaccard3") >= 0.6)
-        .select("id_a", "id_b")
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
     "q18_ann_brute" -> ((s, dir) => {
@@ -233,7 +233,12 @@ object SparkEntry {
     }),
     // ---- crawl + multimodal ------------------------------------------
     "q22_crawl_log" -> ((s, dir) => {
-      miniCrawl(s).crawlLog.orderBy("batch", "seq")
+      // deterministic columns only (crawl_time_ms is wall clock) so the
+      // committed golden fixture pins the crawl order exactly
+      miniCrawl(s).crawlLog
+        .select("batch", "seq", "url", "final_url", "status", "host",
+          "content_type")
+        .orderBy("batch", "seq")
     }),
     "q23_image_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -333,5 +338,91 @@ object SparkEntry {
         |ELSE 'ok' END AS quality_bucket FROM documents""".stripMargin,
     "q14_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text, ' '),
-        |x -> x != '')) AS n_tokens FROM documents""".stripMargin)
+        |x -> x != '')) AS n_tokens FROM documents""".stripMargin,
+    // q15/q16/q19/q20/q22/q23 use committed golden fixtures (generated once
+    // by graft.GoldenGen at sf0.01, checked in): their sketch/hash internals
+    // (splitmix64, minhash permutations, xxhash64 centroids, phash) are not
+    // expressible in DuckDB SQL. The fixture pins byte-exact regressions.
+    "q15_minhash_lsh" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q15_minhash_lsh.parquet')",
+    "q16_simhash" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q16_simhash.parquet')",
+    "q17_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text || ' appended' AS text
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 3)),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+        |    i -> substr(lower(text), i::INT, 3))) AS g
+        |  FROM docs),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |  CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+        |       WHEN len(ga) = 0 OR len(gb) = 0 THEN 0.0
+        |       ELSE len(list_intersect(ga, gb))::DOUBLE /
+        |            (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS jac
+        |  FROM pairs)
+        |SELECT id_a, id_b FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q18_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN q WHERE neighbor_id != query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY floor(cos * 1e6) / 1e6 DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q19_ann_ivf" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q19_ann_ivf.parquet')",
+    "q20_fingerprint" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q20_fingerprint.parquet')",
+    "q21_langid_engine" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans'))) AS fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y','es','una','que'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('il','gli','che','e','di','una','per'))) AS it,
+        |  len(list_filter(toks, x -> x IN ('i','nie','jest','na','do'))) AS pl
+        |  FROM t),
+        |m AS (SELECT doc_id, en, de, fr, es, it, pl,
+        |  greatest(en, de, fr, es, it, pl) AS mx,
+        |  length(text) AS nchars,
+        |  len(toks) AS nwords,
+        |  list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+        |    / len(toks) AS mwl,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r]', '', 'g'))::DOUBLE
+        |    / length(text) AS punctratio,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+        |    / length(text) AS upperratio,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','that','it','for','on','as','with','was','at','by')))::DOUBLE
+        |    / len(toks) AS stopratio
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN mx = 0 THEN 'und'
+        |    WHEN de >= en AND de >= es AND de >= fr AND de >= it AND de >= pl THEN 'de'
+        |    WHEN en >= es AND en >= fr AND en >= it AND en >= pl THEN 'en'
+        |    WHEN es >= fr AND es >= it AND es >= pl THEN 'es'
+        |    WHEN fr >= it AND fr >= pl THEN 'fr'
+        |    WHEN it >= pl THEN 'it' ELSE 'pl' END AS lang_pred,
+        |  (((((CAST(1.0 AS DOUBLE)
+        |    * (CASE WHEN nwords < 5 OR nwords > 100000 THEN 0.2 ELSE 1.0 END))
+        |    * (CASE WHEN mwl < 2 OR mwl > 12 THEN 0.4 ELSE 1.0 END))
+        |    * (CASE WHEN punctratio > 0.3 THEN 0.3 ELSE 1.0 END))
+        |    * (CASE WHEN upperratio > 0.4 THEN 0.3 ELSE 1.0 END))
+        |    * (CASE WHEN stopratio < 0.05 THEN 0.6 ELSE 1.0 END)) AS quality_score
+        |FROM m""".stripMargin,
+    "q22_crawl_log" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q22_crawl_log.parquet')",
+    "q23_image_pipeline" ->
+      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q23_image_pipeline.parquet')")
 }

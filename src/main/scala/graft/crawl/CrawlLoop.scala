@@ -80,7 +80,12 @@ final case class CrawlConfig(
     fetchSocial: Boolean = true,
     /** compact the pending-frontier delta parts every K batches; between
       * compactions the per-batch state write is O(batch), not O(frontier). */
-    compactEvery: Int = 4)
+    compactEvery: Int = 4,
+    /** the global contiguous crawl-sequence column is the crawl-order
+      * parity artifact (range-partitioned sort + zipWithIndex). At
+      * production scale turn it off: ordering stays deterministic via
+      * url_hash, but no global pass is spent on a contiguous counter. */
+    emitCrawlSeq: Boolean = true)
 
 final case class CrawlResult(
     frontier: DataFrame,
@@ -202,9 +207,9 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     for (batch <- 0 until config.maxBatches) {
       val bt = batchTime(batch)
       val (dequeued, n) = timed(s"b$batch dequeue") {
-        val d = Frontier.withCrawlSeq(
-          Frontier.dequeue(pendingView, lit(bt), config.perHostBudget))
-          .persist()
+        val raw = Frontier.dequeue(pendingView, lit(bt), config.perHostBudget)
+        val d = (if (config.emitCrawlSeq) Frontier.withCrawlSeq(raw)
+          else raw.withColumn("seq", col("url_hash"))).persist()
         (d, d.count())
       }
       if (n > 0) {

@@ -10,6 +10,38 @@ import graft.score.Moderation
   * test_handlers.py) plus robots/moderation checks. */
 class HandlersSpec extends AnyFunSuite {
 
+  test("compound multi-source merge: pick-first + ordered coalesce (J-5)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    // (logical_url, source_order, is_valid, url, title, description, language)
+    val sources = Seq(
+      // all valid: url-match (order 1) preferred over first (order 0);
+      // title coalesces from source 0, language only on source 1
+      ("https://a.test", 0L, true, "https://a.test/feed", "A feed", null, null),
+      ("https://a.test", 1L, true, "https://a.test", null, "A desc", "en"),
+      // one invalid: it wins the pick even though it is last
+      ("https://b.test", 0L, true, "https://b.test", "B page", "B desc", null),
+      ("https://b.test", 1L, false, "https://b.test/api", null, null, "fr"))
+      .toDF("logical_url", "source_order", "is_valid", "url", "title",
+        "description", "language")
+    val merged = graft.handlers.Compound.mergeSources(sources)
+      .collect().map(r => r.getAs[String]("logical_url") -> r).toMap
+    val a = merged("https://a.test")
+    assert(a.getAs[String]("picked_url") == "https://a.test") // url match
+    assert(a.getAs[Boolean]("picked_valid"))
+    assert(a.getAs[String]("title") == "A feed")      // order-0 wins
+    assert(a.getAs[String]("description") == "A desc") // first non-null
+    assert(a.getAs[String]("language") == "en")
+    val b = merged("https://b.test")
+    assert(b.getAs[String]("picked_url") == "https://b.test/api") // invalid first
+    assert(!b.getAs[Boolean]("picked_valid"))
+    assert(b.getAs[String]("title") == "B page")
+  }
+
   test("youtube video codes") {
     assert(Handlers.youTubeVideoCode("https://www.youtube.com/watch?v=1234").contains("1234"))
     assert(Handlers.youTubeVideoCode("https://www.youtube.com/shorts/1234").contains("1234"))

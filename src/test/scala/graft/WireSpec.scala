@@ -16,6 +16,81 @@ class WireSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("get_all_properties section list matches the committed golden byte-for-byte") {
+    // HTML page and RSS feed (with Entries) — the reference's flagship
+    // wire output (baseurl.py:520-574); goldens written by GoldenGen
+    import graft.fetch.{FetchClient, SyntheticConfig, SyntheticInternet}
+    import graft.http.AllProperties
+    import graft.parse.PageFactory
+    val internet = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = 1, pagesPerSite = 2, imagesPerSite = 1,
+      itemsPerFeed = 2))
+    def sections(url: String): String = {
+      val req = FetchRequest.default(url)
+      val resp = FetchClient.fetchOne(req, internet)
+      val parsed = PageFactory.recognize(resp.url, resp.headers, resp.text)
+      val meta = PageFactory.toPageMeta(resp.url, parsed)
+      val entries = parsed match {
+        case Some(PageFactory.ParsedRss(m)) =>
+          m.entries(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+            .map(AllProperties.entryData)
+        case _ => Seq.empty
+      }
+      AllProperties.buildString(meta, req, resp, entries)
+    }
+    def golden(name: String): String =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"fixtures/golden/$name"))
+    val html = sections("https://site-0.test")
+    assert(html == golden("all_properties_html.json"))
+    // structure: ordered section names, PropertiesHash present
+    val names = "\"name\":\"([A-Za-z]+)\"".r
+      .findAllMatchIn(html).map(_.group(1)).toSeq
+    assert(names == Seq("Properties", "PropertiesHash", "Text", "Streams",
+      "Request", "Response", "Headers", "Entries"))
+    assert(html.contains("\"crawler_type\":\"NoneType\"")) // request.py:190 quirk
+    val rss = sections("https://site-0.test/feed")
+    assert(rss == golden("all_properties_rss.json"))
+    assert(rss.contains("\"name\":\"Entries\""))
+    assert(rss.contains("\"date_published\":\"2024-01-"))
+  }
+
+  test("python repr used for PropertiesHash matches CPython semantics") {
+    import graft.http.AllProperties.{pyRepr, pyStrRepr}
+    import scala.collection.immutable.ListMap
+    assert(pyStrRepr("abc") == "'abc'")
+    assert(pyStrRepr("it's") == "\"it's\"")   // CPython flips to double quotes
+    assert(pyStrRepr("a'b\"c") == "'a\\'b\"c'") // both present → single + escape
+    assert(pyRepr(None) == "None")
+    assert(pyRepr(Some("x")) == "'x'")
+    assert(pyRepr(7) == "7")
+    assert(pyRepr(1.0) == "1.0")
+    assert(pyRepr(Seq("a", "b")) == "['a', 'b']")
+    assert(pyRepr(ListMap("k" -> 1, "j" -> None)) == "{'k': 1, 'j': None}")
+  }
+
+  test("request/response file IO round-trip (S10)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire")
+    val req = FetchRequest.default("https://example.com/a")
+      .copy(cookies = Map("CONSENT" -> "YES+cb.20210328-17-p0.en+F+678"),
+        httpProxy = Some("http://proxy:3128"), clientId = Some("c1"))
+    val reqPath = dir.resolve("request.json")
+    WireFormats.requestToFile(req, reqPath)
+    val back = WireFormats.requestFromFile(reqPath).get
+    assert(back.cookies == req.cookies)
+    assert(back.httpProxy == req.httpProxy)
+    assert(back.clientId == req.clientId)
+    val resp = FetchResponse("https://example.com/b", "https://example.com/a",
+      200, Map("Content-Type" -> "text/html"), Array[Byte](1, 2), Some("hi"),
+      "utf-8", Seq.empty, 5L, Some("text/html"), None)
+    val respPath = dir.resolve("response.json")
+    WireFormats.responseToFile(resp, respPath)
+    val rback = WireFormats.responseFromFile(respPath).get
+    assert(rback.url == "https://example.com/b")
+    assert(rback.requestUrl == "https://example.com/a") // both urls survive
+    assert(rback.status == 200)
+  }
+
   test("request json round-trip") {
     val req = FetchRequest.default("https://example.com/page")
       .copy(requestHeaders = Map("Accept" -> "text/html"),

@@ -56,7 +56,8 @@ object GoldenGen {
       itemsPerFeed = 2))
     def sections(url: String): String = {
       val req = FetchRequest.default(url)
-      val resp = FetchClient.fetchOne(req, internet)
+      // fixed clock: crawl_time_s must be deterministic in the golden
+      val resp = FetchClient.fetchOne(req, internet, nowNanos = () => 0L)
       val parsed = PageFactory.recognize(resp.url, resp.headers, resp.text)
       val meta = PageFactory.toPageMeta(resp.url, parsed)
       val entries = parsed match {

@@ -32,15 +32,18 @@ object Frontier {
 
   /** Canonicalize + admission-filter raw links → frontier-shaped rows.
     * `saltBuckets` spreads one hot host over N partitions; the dequeue
-    * below still treats the host as one budget unit. */
+    * below still treats the host as one budget unit. The per-link hot
+    * path runs as native codegen expressions (graft.functions), not
+    * ScalaUDFs — no encoder round-trip, stays in whole-stage codegen. */
   def admit(rawLinks: DataFrame, depth: Column, batchTime: Column,
       saltBuckets: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(rawLinks.sparkSession)
     rawLinks
-      .withColumn("url", admitUdf(col("url")))
+      .withColumn("url", expr("url_admit(url)"))
       .filter(col("url").isNotNull)
       .dropDuplicates("url")
       .withColumn("url_hash", xxhash64(col("url")))
-      .withColumn("host", domainOnlyUdf(col("url")))
+      .withColumn("host", expr("url_domain_only(url)"))
       .withColumn("host_hash", xxhash64(col("host")))
       .withColumn("host_hash_salted",
         xxhash64(col("host"), pmod(col("url_hash"), lit(saltBuckets))))

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.CrawlMetricsStream
+import graft.streaming.CrawlMetricsStream.{BudgetAlert, FetchEvent}
+
+/** Structured-Streaming crawl telemetry: watermarked windowed metrics and
+  * the stateful per-host budget watch (§2.10 streaming mapping). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(java.time.Instant.parse(f"2024-01-01T10:$minute%02d:00Z"))
+
+  test("windowed metrics aggregate per host under a watermark") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val query = CrawlMetricsStream
+      .windowedMetrics(input.toDF(), watermark = "10 minutes",
+        windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("metrics")
+      .outputMode("update").start()
+    input.addData(
+      FetchEvent("https://a.test/1", "a.test", 200, 10L, ts(0)),
+      FetchEvent("https://a.test/2", "a.test", 404, 30L, ts(1)),
+      FetchEvent("https://b.test/1", "b.test", 200, 50L, ts(2)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("metrics").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("fetches"),
+        r.getAs[Long]("failures"), r.getAs[Double]("avg_crawl_time_ms")))
+      .toSet
+    assert(rows == Set(("a.test", 2L, 1L, 20.0), ("b.test", 1L, 0L, 50.0)))
+  }
+
+  test("politeness alerts fire once when a host crosses its budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val query = CrawlMetricsStream
+      .politenessAlerts(input.toDS(), budget = 2)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    // batch 1: under budget — no alert
+    input.addData(
+      FetchEvent("https://a.test/1", "a.test", 200, 1L, ts(0)),
+      FetchEvent("https://a.test/2", "a.test", 200, 1L, ts(1)))
+    query.processAllAvailable()
+    assert(spark.table("alerts").count() == 0)
+    // batch 2: third+fourth fetch cross the budget of 2 — exactly one alert
+    input.addData(
+      FetchEvent("https://a.test/3", "a.test", 200, 1L, ts(2)),
+      FetchEvent("https://a.test/4", "a.test", 200, 1L, ts(3)),
+      FetchEvent("https://b.test/1", "b.test", 200, 1L, ts(3)))
+    query.processAllAvailable()
+    val alerts = spark.table("alerts").as[BudgetAlert].collect().toSeq
+    assert(alerts == Seq(BudgetAlert("a.test", 4L, 2)))
+    // batch 3: already over budget — no duplicate alert
+    input.addData(FetchEvent("https://a.test/5", "a.test", 200, 1L, ts(4)))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("alerts").count() == 1)
+  }
+}

@@ -27,7 +27,8 @@ class WireSpec extends AnyFunSuite {
       itemsPerFeed = 2))
     def sections(url: String): String = {
       val req = FetchRequest.default(url)
-      val resp = FetchClient.fetchOne(req, internet)
+      // fixed clock mirrors GoldenGen: crawl_time_s deterministic
+      val resp = FetchClient.fetchOne(req, internet, nowNanos = () => 0L)
       val parsed = PageFactory.recognize(resp.url, resp.headers, resp.text)
       val meta = PageFactory.toPageMeta(resp.url, parsed)
       val entries = parsed match {

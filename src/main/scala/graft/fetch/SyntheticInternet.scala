@@ -107,6 +107,13 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
       case "" | "/" => textResponse(200, "text/html", rootPage(k))
       case "/feed" =>
         textResponse(200, "application/rss+xml", feedPage(k))
+      case "/feeds.opml" =>
+        textResponse(200, "text/x-opml", opmlPage(k))
+      case "/api/info.json" =>
+        // the reference's JSON-page quirk: a JSON body is never a valid
+        // page (pages.py:75-93) — it must fall through to default type
+        textResponse(200, "application/json",
+          s"""{"title": "Site $k API", "description": "synthetic api"}""")
       case "/robots.txt" => textResponse(200, "text/plain", robotsTxt(k))
       // 301/302 chains — the redirect-following parity surface
       // (reference behavior: requests follows, response.py:197-210)
@@ -207,6 +214,8 @@ $images
       <a href="/moved/1">old page 1 location</a>
       <a href="/hop">double hop</a>
       <a href="/alias">aliased page</a>
+      <a href="/feeds.opml">feed list</a>
+      <a href="/api/info.json">api info</a>
 </body>
 </html>
 """
@@ -283,6 +292,21 @@ $items
     s"""User-agent: *
 Disallow: /private/
 ${extra}Sitemap: https://site-$k.test/sitemap.xml
+"""
+  }
+
+  /** OPML outline listing this site's feed and the next site's — its
+    * xmlUrl entries become frontier work through the O1 parser. */
+  private def opmlPage(k: Int): String = {
+    val next = (k + 1) % config.nSites
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<opml version="2.0">
+<head><title>Site $k subscriptions</title></head>
+<body>
+  <outline text="Site $k feed" title="Site $k feed" type="rss" xmlUrl="https://site-$k.test/feed" />
+  <outline text="Site $next feed" title="Site $next feed" type="rss" xmlUrl="https://site-$next.test/feed" />
+</body>
+</opml>
 """
   }
 

@@ -221,6 +221,26 @@ class CrawlSpec extends AnyFunSuite {
       .contains("UChandle123"))
   }
 
+  test("OPML and JSON pages flow through the dispatch cascade (F1/O1/J1)") {
+    import org.apache.spark.sql.functions.col
+    val result = newLoop(CrawlConfig(maxBatches = 3))
+      .run(Seq("https://site-0.test/"))
+    val pages = result.pages.collect()
+    val opml = pages.find(_.getAs[String]("url")
+      .endsWith("/feeds.opml"))
+    assert(opml.nonEmpty, "OPML page crawled")
+    assert(opml.get.getAs[String]("page_type") == "opml")
+    // OPML xmlUrl entries become frontier work: site-1's feed is only
+    // linked from site-0's OPML at this batch depth
+    val requested = result.crawlLog.collect().map(_.getAs[String]("url"))
+    assert(requested.contains("https://site-0.test/feed"))
+    // the JSON-page quirk (pages.py:75-93): valid JSON is never a valid
+    // page — it must land as default type, not json
+    val json = pages.find(_.getAs[String]("url").endsWith("/api/info.json"))
+    assert(json.nonEmpty, "JSON page crawled")
+    assert(json.get.getAs[String]("page_type") != "json")
+  }
+
   test("bloom-accelerated dedup matches exact dedup") {
     val exact = newLoop(CrawlConfig(maxBatches = 3, useBloom = false))
       .run(Seq("https://site-0.test/"))

@@ -183,20 +183,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q17_ngram_jaccard" -> ((s, dir) => {
-      // exact character-3-gram Jaccard over all pairs — the DuckDB-
-      // verifiable ground-truth form (list_intersect in the oracle). The
-      // 100 TB path is q15: LSH candidates + this same verifier on the
-      // candidate set only; this exact variant is what pins both.
-      val df = withPlantedDups(ld(s, dir, "documents"), s)
-      val grams = udf((t: String) => TextKit.charNgramHashes(t, 3))
-      val texts = df.select(col("doc_id"), grams(col("text")).as("g"))
-      val jac = udf((a: Seq[Long], b: Seq[Long]) =>
-        TextKit.jaccard(a.toArray, b.toArray))
-      texts.as("a").crossJoin(texts.as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard3", jac(col("a.g"), col("b.g")))
-        .filter(col("jaccard3") >= 0.6)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // EXACT character-3-gram Jaccard ground truth (the DuckDB oracle is
+      // the independent all-pairs form) — computed with the prefix-filter
+      // set-similarity join, so the plan carries no cartesian product and
+      // survives a 100× corpus: candidates come from an equi-join on each
+      // doc's (1-t)·|g|+1 smallest gram hashes, verified exactly.
+      Dedup.exactJaccardPairs(withPlantedDups(ld(s, dir, "documents"), s),
+        "doc_id", "text", n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")
     }),
     "q18_ann_brute" -> ((s, dir) => {
@@ -263,6 +256,13 @@ object SparkEntry {
       .withColumn("text", concat(col("text"), lit(" appended")))
     base.unionByName(planted)
   }
+
+  /** Where the committed golden fixtures live. Resolved at dump time
+    * (Verify runs from the repo checkout), overridable via
+    * GRAFT_FIXTURES_DIR — no hardcoded checkout path in the SQL. */
+  private lazy val fixturesDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+      new java.io.File("fixtures/golden").getAbsolutePath)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -344,9 +344,9 @@ object SparkEntry {
     // (splitmix64, minhash permutations, xxhash64 centroids, phash) are not
     // expressible in DuckDB SQL. The fixture pins byte-exact regressions.
     "q15_minhash_lsh" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q15_minhash_lsh.parquet')",
+      s"SELECT * FROM read_parquet('$fixturesDir/q15_minhash_lsh.parquet')",
     "q16_simhash" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q16_simhash.parquet')",
+      s"SELECT * FROM read_parquet('$fixturesDir/q16_simhash.parquet')",
     "q17_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -381,9 +381,9 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q19_ann_ivf" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q19_ann_ivf.parquet')",
+      s"SELECT * FROM read_parquet('$fixturesDir/q19_ann_ivf.parquet')",
     "q20_fingerprint" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q20_fingerprint.parquet')",
+      s"SELECT * FROM read_parquet('$fixturesDir/q20_fingerprint.parquet')",
     "q21_langid_engine" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, text, toks,
@@ -422,7 +422,7 @@ object SparkEntry {
         |    * (CASE WHEN stopratio < 0.05 THEN 0.6 ELSE 1.0 END)) AS quality_score
         |FROM m""".stripMargin,
     "q22_crawl_log" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q22_crawl_log.parquet')",
+      s"SELECT * FROM read_parquet('$fixturesDir/q22_crawl_log.parquet')",
     "q23_image_pipeline" ->
-      "SELECT * FROM read_parquet('/root/repo/fixtures/golden/q23_image_pipeline.parquet')")
+      s"SELECT * FROM read_parquet('$fixturesDir/q23_image_pipeline.parquet')")
 }

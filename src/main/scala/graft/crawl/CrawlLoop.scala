@@ -69,7 +69,14 @@ final case class CrawlConfig(
     userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) graft/1.0",
     /** per-request total deadline (S3; crawlerinterface.py:253-259). */
     timeoutS: Int = 20,
-    /** domain-rules LRU capacity (reference LRU(400), domaincache.py:176). */
+    /** domain-rules LRU capacity (reference LRU(400), domaincache.py:176).
+      * Eviction runs AFTER the batch's robots gate, so rules for hosts
+      * being gated in the current batch are never evicted mid-gate; an
+      * evicted host that reappears is a cache miss and re-fetches, exactly
+      * like the reference. The host→insertion-batch index is driver-side
+      * (bounded by this cap plus one batch's distinct hosts ≈ tens of MB at
+      * 10^6 hosts); beyond ~10^7 distinct hosts shard the loop by
+      * host-hash range, which a 10^10-URL deployment does anyway. */
     robotsCacheSize: Int = 400,
     /** enqueue robots.txt Sitemap URLs into the frontier (L7;
       * domaincache.py:102-167 expands recursively — recursion here is the
@@ -126,32 +133,41 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
   /** Distributed robots.txt fetch for hosts with no cached rules — robots
     * URLs are ordinary fetch work through the same per-partition client
     * (J-2; replaces the reference's driver-singleton DomainCache,
-    * domaincache.py:170-259). Returns (host, robots_txt, robots_status). */
-  private def fetchRobots(missingHosts: Dataset[String],
-      batch: Int): DataFrame = {
+    * domaincache.py:170-259). The missing-host list is computed driver-side
+    * from the bounded host index, so this job only runs when there IS a
+    * miss, and scans nothing but the miss list itself.
+    * Returns (host, robots_txt, robots_status, fetched_batch). */
+  private def fetchRobots(missingHosts: Seq[String], batch: Int,
+      parts: Int): DataFrame = {
     val internetL = internet
     val timeoutS = config.timeoutS
     val ua = config.userAgent
-    missingHosts.mapPartitions { hosts =>
-      hosts.map { host =>
-        val req = FetchRequest.default(s"https://$host/robots.txt")
-          .copy(timeoutS = timeoutS, userAgent = ua)
-        val resp = FetchClient.fetchOne(req, internetL)
-        (host,
-          if (resp.status == 200) resp.text.getOrElse("") else "",
-          resp.status)
-      }
-    }.toDF("host", "robots_txt", "robots_status")
+    import spark.implicits._
+    spark.createDataset(missingHosts)
+      .repartition(math.min(parts, math.max(1, missingHosts.size)))
+      .mapPartitions { hosts =>
+        hosts.map { host =>
+          val req = FetchRequest.default(s"https://$host/robots.txt")
+            .copy(timeoutS = timeoutS, userAgent = ua)
+          val resp = FetchClient.fetchOne(req, internetL)
+          (host,
+            if (resp.status == 200) resp.text.getOrElse("") else "",
+            resp.status)
+        }
+      }.toDF("host", "robots_txt", "robots_status")
       .withColumn("fetched_batch", lit(batch))
       .localCheckpoint(true)
   }
 
   def run(seeds: Seq[String]): CrawlResult = {
     // ---- delta state ---------------------------------------------------
-    // pending = union(pendingParts) minus dequeued (url_hash, ver) keys;
-    // every part is checkpointed exactly once when appended
+    // pending = union(pendingParts) minus dequeued (url_hash, ver) keys
+    // minus redirect-target urls; checkpointed parts only where a frame is
+    // reused across batches — per-batch transitions stay lazy and execute
+    // inside the NEXT batch's dequeue job (one fewer action per batch)
     val pendingParts = mutable.ArrayBuffer[DataFrame]()
     val dequeuedKeyParts = mutable.ArrayBuffer[DataFrame]()
+    val redirectTombstoneParts = mutable.ArrayBuffer[DataFrame]()
     val doneParts = mutable.ArrayBuffer[DataFrame]()
     val seenParts = mutable.ArrayBuffer[DataFrame]()
     val logParts = mutable.ArrayBuffer[DataFrame]()
@@ -164,37 +180,22 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       else parts.reduce(_ unionByName _)
 
     def pendingView: DataFrame = {
-      val base = unionAll(pendingParts.toSeq)
-      if (dequeuedKeyParts.isEmpty) base
-      else base.join(unionAll(dequeuedKeyParts.toSeq),
-        Seq("url_hash", "ver"), "left_anti")
+      var base = unionAll(pendingParts.toSeq)
+      if (dequeuedKeyParts.nonEmpty)
+        base = base.join(unionAll(dequeuedKeyParts.toSeq),
+          Seq("url_hash", "ver"), "left_anti")
+      // a URL whose content a redirect already delivered must never be
+      // fetched again, even if it was enqueued before the redirect was
+      // discovered (response.py:197-210)
+      if (redirectTombstoneParts.nonEmpty)
+        base = base.join(unionAll(redirectTombstoneParts.toSeq),
+          Seq("url_hash", "url"), "left_anti")
+      base
     }
     def seenView: DataFrame = unionAll(seenParts.toSeq)
     def frontierView: DataFrame =
       if (doneParts.isEmpty) pendingView
       else unionAll(doneParts.toSeq).unionByName(pendingView)
-
-    val seeded = seedFrontier(seeds).localCheckpoint(true)
-    pendingParts += seeded
-    seenParts += seeded.select("url", "url_hash")
-
-    // seen-set Bloom accelerator, merged incrementally from per-batch
-    // deltas (never rescans the full seen table); false positives only
-    // cost an exact-join probe
-    val bloomExpected = config.bloomExpected
-    val bloom = SeenSet.newBloom(bloomExpected)
-    // n.b. stat.bloomFilter NPEs on an empty input frame — guard every merge
-    def mergeBloom(df: DataFrame): Unit =
-      if (df.head(1).nonEmpty)
-        bloom.mergeInPlace(
-          df.stat.bloomFilter(col("url_hash"), bloomExpected, 0.01))
-    mergeBloom(seeded)
-
-    // accumulated domain rules (host, robots_txt, robots_status,
-    // fetched_batch), broadcast-joined per batch; LRU-capped like the
-    // reference's DomainCache(400)
-    var domainRules: Option[DataFrame] = None
-    var domainRulesCount = 0L
 
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -204,47 +205,87 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       out
     }
 
+    // ---- seen-set Bloom accelerator ------------------------------------
+    // Populated by a pass-through tap on url_hash inside the seen-delta
+    // checkpoint job (no dedicated aggregation pass; see BloomAccumulator).
+    // The accelerator self-sizes: once inserts exceed the configured
+    // capacity the false-positive rate is no longer bounded AND the filter
+    // is as big as it will ever usefully be, so it auto-disables and the
+    // loop falls back to the always-authoritative exact anti-join. At
+    // 10^10-URL design scale this makes capacity a config, not an OOM:
+    // size bloomExpected to the per-loop-shard URL budget, or accept
+    // exact-only beyond it.
+    val bloomAcc = new SeenSet.BloomAccumulator(config.bloomExpected)
+    if (config.useBloom)
+      spark.sparkContext.register(bloomAcc, "graft.seenBloom")
+    var bloomInserted = 0L
+    var bloomEnabled = config.useBloom
+    val bloomTap = udf { (h: Long) => bloomAcc.add(h); h }.asNondeterministic()
+    def tapped(df: DataFrame): DataFrame =
+      if (bloomEnabled) df.withColumn("url_hash", bloomTap(col("url_hash")))
+      else df
+    def noteInserted(n: Long): Unit = {
+      bloomInserted += n
+      if (bloomEnabled && bloomInserted > config.bloomExpected) {
+        bloomEnabled = false
+        println(s"[crawl] bloom auto-disabled: $bloomInserted inserts " +
+          s"exceed capacity ${config.bloomExpected}; exact anti-join only")
+      }
+    }
+
+    val seeded = tapped(seedFrontier(seeds)).localCheckpoint(true)
+    pendingParts += seeded
+    seenParts += seeded.select("url", "url_hash")
+    noteInserted(seeds.size.toLong)
+
+    // ---- domain-rules cache (reference DomainCache LRU, driver-indexed) --
+    // robots_txt rows live distributed in checkpointed `rulesParts`; the
+    // driver holds only host → insertion-batch (bounded by robotsCacheSize
+    // + one batch's distinct hosts — see CrawlConfig.robotsCacheSize).
+    // Insertion order drives eviction, like the reference's insert-date LRU.
+    val hostIndex = mutable.LinkedHashMap[String, Int]()
+    val rulesParts = mutable.ArrayBuffer[DataFrame]()
+
     for (batch <- 0 until config.maxBatches) {
       val bt = batchTime(batch)
-      val (dequeued, n) = timed(s"b$batch dequeue") {
+      // ---- dequeue: ONE action materializes the batch AND the pending
+      //      transitions of previous batches still in the lazy view; the
+      //      row count and the batch's distinct hosts ride along as
+      //      observed metrics instead of separate jobs ------------------
+      val obsDequeue = org.apache.spark.sql.Observation()
+      val (dequeued, n, batchHosts) = timed(s"b$batch dequeue") {
         val raw = Frontier.dequeue(pendingView, lit(bt), config.perHostBudget)
         val d = (if (config.emitCrawlSeq) Frontier.withCrawlSeq(raw)
-          else raw.withColumn("seq", col("url_hash"))).persist()
-        (d, d.count())
+          else raw.withColumn("seq", col("url_hash")))
+          .observe(obsDequeue, count(lit(1)).as("n"),
+            collect_set(col("host")).as("hosts"))
+          .localCheckpoint(true)
+        val m = obsDequeue.get
+        (d, m("n").asInstanceOf[Long],
+          m("hosts").asInstanceOf[Seq[Any]].map(_.toString))
       }
       if (n > 0) {
-        // ---- distributed robots refresh (J-2) --------------------------
+        // ---- robots refresh: driver-computed miss list, distributed
+        //      fetch only when there IS a miss (J-2) ---------------------
         var sitemapUrls: Option[DataFrame] = None
+        var newRulesOpt: Option[DataFrame] = None
         if (config.respectRobots || config.expandSitemaps) {
-          val hostsNeeded = dequeued.select("host").distinct()
-          val missing = domainRules match {
-            case Some(rules) =>
-              hostsNeeded.join(rules.select("host"), Seq("host"), "left_anti")
-            case None => hostsNeeded
+          val missing = batchHosts.filterNot(hostIndex.contains).sorted
+          if (missing.nonEmpty) {
+            val parts =
+              if (config.fetchPartitions > 0) config.fetchPartitions
+              else spark.sessionState.conf.numShufflePartitions
+            val newRules = timed(s"b$batch robots-fetch") {
+              fetchRobots(missing, batch, parts)
+            }
+            missing.foreach(h => hostIndex(h) = batch)
+            rulesParts += newRules
+            newRulesOpt = Some(newRules)
           }
-          val newRules = timed(s"b$batch robots-fetch") {
-            fetchRobots(missing.as[String], batch)
-          }
-          domainRulesCount += newRules.count()
-          var merged = domainRules match {
-            case Some(rules) => rules.unionByName(newRules)
-            case None        => newRules
-          }
-          // LRU semantics: keep the newest `robotsCacheSize` hosts
-          // (reference evicts by insert date, domaincache.py:244-259)
-          if (domainRulesCount > config.robotsCacheSize) {
-            val w = org.apache.spark.sql.expressions.Window
-              .orderBy(desc("fetched_batch"), col("host"))
-            merged = merged.withColumn("rn", row_number().over(w))
-              .filter(col("rn") <= config.robotsCacheSize).drop("rn")
-              .localCheckpoint(true)
-            domainRulesCount = config.robotsCacheSize
-          }
-          domainRules = Some(merged)
           if (config.expandSitemaps) {
             val sitemapLinesUdf =
               udf((txt: String) => Robots.sitemapLines(txt))
-            sitemapUrls = Some(newRules
+            sitemapUrls = newRulesOpt.map(_
               .filter(col("robots_status") === 200)
               .select(explode(sitemapLinesUdf(col("robots_txt")))
                 .as("url")))
@@ -252,15 +293,20 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         }
 
         // ---- robots gate: broadcast rules join + allow UDF --------------
+        // The gate joins the PRE-eviction rules (this batch's hosts are
+        // always present — fetched above if missing); the LRU trim runs
+        // after the batch, so rules are never evicted for hosts being
+        // gated right now, and a null robots_txt can only mean the robots
+        // fetch itself failed (⇒ allowed, like the reference).
         val gated =
-          if (config.respectRobots && domainRules.nonEmpty) {
+          if (config.respectRobots && rulesParts.nonEmpty) {
             val ua = config.userAgent
             val allowedUdf = udf { (txt: String, url: String) =>
               txt == null || txt.isEmpty || Robots.allows(txt, ua, url)
             }
             dequeued
-              .join(broadcast(domainRules.get.select("host", "robots_txt")),
-                Seq("host"), "left")
+              .join(broadcast(unionAll(rulesParts.toSeq)
+                .select("host", "robots_txt")), Seq("host"), "left")
               .withColumn("allowed", allowedUdf(col("robots_txt"), col("url")))
               .drop("robots_txt")
           } else dequeued.withColumn("allowed", lit(true))
@@ -306,7 +352,9 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           .withColumn("batch", lit(batch))
 
         // ---- new links: pages ∪ feeds ∪ entries ∪ sitemap URLs → admit →
-        //      two-tier dedup → pending delta -----------------------------
+        //      two-tier dedup → redirect credit → pending + seen delta,
+        //      all materialized by ONE checkpoint whose job also feeds the
+        //      Bloom accumulator through the url_hash tap -----------------
         val rawLinks = fetched
           .select(explode(concat(col("links"), col("feeds"),
             col("entry_links"))).as("url"))
@@ -318,65 +366,76 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           config.saltBuckets).persist()
         val seen = seenView
         val fresh0 =
-          if (config.useBloom) SeenSet.filterNewWithBloom(admitted, seen, bloom)
+          if (bloomEnabled)
+            SeenSet.filterNewWithBloom(admitted, seen, bloomAcc.value)
           else SeenSet.filterNewExact(admitted, seen)
-        val fresh = timed(s"b$batch links-dedup") {
-          fresh0.withColumn("ver", lit(batch + 1)).localCheckpoint(true)
-        }
-        admitted.unpersist()
 
         // redirect targets enter the seen set under their canonical form —
         // the reference processed the final URL's response, so the engine
-        // must never re-fetch it (response.py:197-210)
+        // must never re-fetch it (response.py:197-210). Targets take
+        // precedence over same-batch link discoveries: a URL that is both
+        // a fresh link and a redirect target is credited as seen, never
+        // enqueued.
         val cleanUdf = Frontier.cleanUdf
-        val redirected = fetched
+        val redirectTargets = fetched
           .filter(col("final_url") =!= col("url"))
           .select(cleanUdf(col("final_url")).as("url"))
           .filter(col("url").isNotNull)
           .dropDuplicates("url")
           .withColumn("url_hash", xxhash64(col("url")))
+        val redirCredit = redirectTargets
           .join(seen.select("url_hash", "url"), Seq("url_hash", "url"),
             "left_anti")
-          .join(fresh.select("url_hash", "url"), Seq("url_hash", "url"),
-            "left_anti")
-        val seenDelta = timed(s"b$batch seen-delta") {
-          fresh.select("url", "url_hash").unionByName(redirected)
+          .withColumn("src", lit("redir"))
+        val freshRows = fresh0
+          .join(redirectTargets.select("url_hash", "url"),
+            Seq("url_hash", "url"), "left_anti")
+          .withColumn("ver", lit(batch + 1))
+          .withColumn("src", lit("link"))
+        val obsDelta = org.apache.spark.sql.Observation()
+        val delta = timed(s"b$batch links-dedup") {
+          tapped(freshRows.unionByName(redirCredit,
+              allowMissingColumns = true))
+            .observe(obsDelta, count(lit(1)).as("n"))
             .localCheckpoint(true)
         }
-        seenParts += seenDelta
-        timed(s"b$batch bloom-merge") {
-          if (config.useBloom) mergeBloom(seenDelta)
-        }
+        admitted.unpersist()
+        noteInserted(obsDelta.get("n").asInstanceOf[Long])
+        val fresh = delta.filter(col("src") === "link").drop("src")
+        seenParts += delta.select("url", "url_hash")
+        // pre-existing pending rows for redirect targets are tombstoned —
+        // the redirect visit already delivered their content
+        redirectTombstoneParts += redirectTargets.select("url_hash", "url")
 
-        // ---- state transition: only this batch's dequeued rows ----------
+        // ---- state transition: only this batch's dequeued rows. Lazy on
+        //      purpose — it reads only checkpointed inputs and executes
+        //      inside the next batch's dequeue job (or the compaction),
+        //      costing zero scheduled actions here ----------------------
         val statusByHash = fetched.select(col("url_hash"),
           col("status").as("fetch_status"))
-        val transitioned = timed(s"b$batch transition") {
-          gated
-            .join(statusByHash, Seq("url_hash"), "left")
-            .withColumn("state",
-              when(!col("allowed"), FrontierRow.StateExcluded)
-                .when(col("fetch_status").isNotNull &&
-                  Statuses.retryCol(col("fetch_status")) &&
-                  col("tries") + 1 < config.maxTries, FrontierRow.StatePending)
-                .when(col("fetch_status").isNotNull &&
-                  Statuses.invalidCol(col("fetch_status")),
-                  FrontierRow.StateFailed)
-                .when(col("fetch_status").isNotNull, FrontierRow.StateFetched)
-                .otherwise(col("state")))
-            .withColumn("tries",
-              when(col("fetch_status").isNotNull &&
-                Statuses.retryCol(col("fetch_status")),
-                col("tries") + 1).otherwise(col("tries")))
-            .withColumn("not_before",
-              when(col("state") === FrontierRow.StatePending &&
-                col("fetch_status").isNotNull,
-                lit(batchTime(batch + 1))).otherwise(col("not_before")))
-            .withColumn("old_ver", col("ver"))
-            .withColumn("ver", lit(batch + 1))
-            .drop("fetch_status", "allowed", "seq")
-            .localCheckpoint(true)
-        }
+        val transitioned = gated
+          .join(statusByHash, Seq("url_hash"), "left")
+          .withColumn("state",
+            when(!col("allowed"), FrontierRow.StateExcluded)
+              .when(col("fetch_status").isNotNull &&
+                Statuses.retryCol(col("fetch_status")) &&
+                col("tries") + 1 < config.maxTries, FrontierRow.StatePending)
+              .when(col("fetch_status").isNotNull &&
+                Statuses.invalidCol(col("fetch_status")),
+                FrontierRow.StateFailed)
+              .when(col("fetch_status").isNotNull, FrontierRow.StateFetched)
+              .otherwise(col("state")))
+          .withColumn("tries",
+            when(col("fetch_status").isNotNull &&
+              Statuses.retryCol(col("fetch_status")),
+              col("tries") + 1).otherwise(col("tries")))
+          .withColumn("not_before",
+            when(col("state") === FrontierRow.StatePending &&
+              col("fetch_status").isNotNull,
+              lit(batchTime(batch + 1))).otherwise(col("not_before")))
+          .withColumn("old_ver", col("ver"))
+          .withColumn("ver", lit(batch + 1))
+          .drop("fetch_status", "allowed", "seq")
         // tombstone the dequeued versions; re-enqueue retries under a new
         // version so they survive the tombstone anti-join
         dequeuedKeyParts += transitioned
@@ -386,6 +445,24 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         doneParts += transitioned
           .filter(col("state") =!= FrontierRow.StatePending).drop("old_ver")
         pendingParts += fresh
+
+        // ---- domain-rules LRU eviction, AFTER the gate ------------------
+        // (reference evicts by insert date, domaincache.py:244-259; an
+        // evicted host that reappears is re-fetched on its next batch)
+        if (hostIndex.size > config.robotsCacheSize) {
+          val evictN = hostIndex.size - config.robotsCacheSize
+          hostIndex.keys.take(evictN).toList.foreach(hostIndex.remove)
+          // physically drop evicted rows so a re-added host never joins
+          // against two rules rows; per-partition semi join, no window
+          val keep = hostIndex.keys.toSeq.toDF("host")
+          val compacted = timed(s"b$batch rules-evict") {
+            unionAll(rulesParts.toSeq)
+              .join(broadcast(keep), Seq("host"), "left_semi")
+              .localCheckpoint(true)
+          }
+          rulesParts.clear()
+          rulesParts += compacted
+        }
 
         store match {
           case Some(s) =>
@@ -402,23 +479,27 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             doneParts.clear()
             doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
             dequeuedKeyParts.clear()
+            redirectTombstoneParts.clear()
             seenParts.clear()
             seenParts += s.read(spark, "seen", Some(batch)).get
           case None =>
-            // delta mode: compact the pending view every K batches — one
-            // O(|pending|) rewrite amortized over K O(batch) appends
+            // delta mode: compact the pending + seen views every K batches
+            // — one O(|state|) rewrite amortized over K O(batch) appends;
+            // bakes the lazy transitions and tombstones into one part each
             if ((batch + 1) % config.compactEvery == 0) {
               timed(s"b$batch compact") {
                 val compacted = pendingView.localCheckpoint(true)
                 pendingParts.clear()
                 pendingParts += compacted
                 dequeuedKeyParts.clear()
+                redirectTombstoneParts.clear()
+                val seenCompacted = seenView.localCheckpoint(true)
+                seenParts.clear()
+                seenParts += seenCompacted
               }
             }
         }
-        fetched.unpersist()
       }
-      dequeued.unpersist()
     }
     CrawlResult(frontierView, seenView, unionAll(logParts.toSeq),
       unionAll(pageParts.toSeq), unionAll(imageParts.toSeq),

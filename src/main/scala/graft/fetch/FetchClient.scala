@@ -54,22 +54,38 @@ object FetchClient {
     * synthetic internet has none, so a small fixed slack suffices. */
   private val watchdogSlackMs = 200L
 
-  /** Run `body` under a deadline of `timeoutS` seconds (+slack); None on
-    * timeout (the reference's killed worker thread). */
-  private[fetch] def withDeadline[T](timeoutS: Int)(body: => T): Option[T] = {
-    if (timeoutS <= 0) return Some(body)
+  /** Outcome of a deadline-guarded fetch: the reference distinguishes a
+    * killed worker thread (604 timeout) from an exception raised inside the
+    * fetch (600 exception, statuses.py:42-49) — so must we. */
+  private[fetch] sealed trait DeadlineResult[+T]
+  private[fetch] final case class DeadlineOk[T](value: T) extends DeadlineResult[T]
+  private[fetch] case object DeadlineTimeout extends DeadlineResult[Nothing]
+  private[fetch] final case class DeadlineFailed(message: String)
+      extends DeadlineResult[Nothing]
+
+  /** Run `body` under a deadline of `timeoutS` seconds (+slack). */
+  private[fetch] def withDeadline[T](timeoutS: Int)(
+      body: => T): DeadlineResult[T] = {
+    if (timeoutS <= 0)
+      return try DeadlineOk(body) catch {
+        case e: Exception => DeadlineFailed(describe(e))
+      }
     val fut = watchdogPool.submit(new java.util.concurrent.Callable[T] {
       override def call(): T = body
     })
-    try Some(fut.get(timeoutS * 1000L + watchdogSlackMs,
+    try DeadlineOk(fut.get(timeoutS * 1000L + watchdogSlackMs,
       java.util.concurrent.TimeUnit.MILLISECONDS))
     catch {
       case _: java.util.concurrent.TimeoutException =>
         fut.cancel(true) // interrupt; abandon if uninterruptible
-        None
-      case _: java.util.concurrent.ExecutionException => None
+        DeadlineTimeout
+      case e: java.util.concurrent.ExecutionException =>
+        DeadlineFailed(describe(if (e.getCause != null) e.getCause else e))
     }
   }
+
+  private def describe(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
 
   /** Redirect statuses `requests` follows automatically (3xx with a
     * Location; the reference relies on requests' allow_redirects=True and
@@ -101,7 +117,7 @@ object FetchClient {
     // fetch + redirect-follow under one total deadline (reference scope:
     // the whole requests.get call, redirects included)
     var finalUrl = req.url
-    val rawOpt: Option[SyntheticResponse] = withDeadline(req.timeoutS) {
+    val rawRes: DeadlineResult[SyntheticResponse] = withDeadline(req.timeoutS) {
       var current = req.url
       var resp = internet.get(current)
       var hops = 0
@@ -115,13 +131,24 @@ object FetchClient {
       finalUrl = current
       resp
     }
-    val raw = rawOpt.getOrElse {
-      errors += s"Timeout: ${req.timeoutS}s exceeded"
-      return FetchResponse(
-        url = req.url, requestUrl = req.url, status = Statuses.CodeTimeout,
-        headers = Map.empty, body = Array.empty, text = None,
-        encoding = "utf-8", errors = errors.toSeq,
-        crawlTimeMs = (nowNanos() - t0) / 1000000L,
+    val raw = rawRes match {
+      case DeadlineOk(r) => r
+      case other =>
+        // 604 is reserved for the expired watchdog; an exception inside the
+        // fetch is 600 with its message, never masked as a timeout
+        val status = other match {
+          case DeadlineFailed(msg) =>
+            errors += s"Exception: $msg"
+            Statuses.CodeException
+          case _ =>
+            errors += s"Timeout: ${req.timeoutS}s exceeded"
+            Statuses.CodeTimeout
+        }
+        return FetchResponse(
+          url = req.url, requestUrl = req.url, status = status,
+          headers = Map.empty, body = Array.empty, text = None,
+          encoding = "utf-8", errors = errors.toSeq,
+          crawlTimeMs = (nowNanos() - t0) / 1000000L,
         recognizedContentType = None, bodyHash = None)
     }
 

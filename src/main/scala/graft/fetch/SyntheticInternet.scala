@@ -18,6 +18,7 @@ import graft.model.ImageRow
   *   https://site-<k>.test/private/…   200 page (robots-disallowed)
   *   https://status-<code>.test/       that status
   *   https://slow.test/ , https://big.test/   timeout / too-big paths
+  *   https://crash.test/               fetch throws (600 exception path)
   */
 final case class SyntheticConfig(
     seed: Long = 42L,
@@ -83,6 +84,10 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
         "<html><head><title>slow</title></head><body>finally</body></html>")
     } else if (config.socialSites && socialResponse(url).nonEmpty) {
       socialResponse(url).get
+    } else if (url.startsWith("https://crash.test")) {
+      // a fetch that blows up mid-flight: the client must map it to the
+      // 600 exception status with the message, NOT the 604 timeout
+      throw new IllegalStateException(s"synthetic connection reset: $url")
     } else if (url.startsWith("https://big.test")) {
       // header says 10 MB — the byte-limit guard must reject before body
       SyntheticResponse(200,
@@ -120,8 +125,10 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
       case p if p.startsWith("/moved/") =>
         redirect(301, s"/page/${p.substring("/moved/".length)}")
       case "/hop" => redirect(302, "/moved/0")
-      // /target is reachable ONLY through this redirect — exercises the
-      // final-URL seen-set credit (never re-fetched once redirected to)
+      // /target is reached through this redirect AND linked directly from
+      // /page/0 in the SAME batch — exercises the final-URL seen-set
+      // credit (never re-fetched once redirected to) including the
+      // redirect-vs-fresh-link precedence collision
       case "/alias" => redirect(301, "/target")
       case "/target" =>
         textResponse(200, "text/html",
@@ -248,6 +255,7 @@ $images
 $siblings
       <a href="https://site-$cross.test/">cross link</a>
       <a href="/">home</a>
+${if (j == 0) "      <a href=\"/target\">direct target link</a>" else ""}
 $body
 </body>
 </html>

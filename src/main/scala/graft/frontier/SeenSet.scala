@@ -54,4 +54,38 @@ object SeenSet {
     * built with the same parameters merge into it with `mergeInPlace`. */
   def newBloom(expectedTotal: Long, fpp: Double = 0.01): BloomFilter =
     BloomFilter.create(math.max(expectedTotal, 1000L), fpp)
+
+  /** Bloom filter built as a task-side accumulator: the crawl loop taps
+    * every `url_hash` flowing through the seen-delta checkpoint, so the
+    * filter is populated inside a job that runs anyway — no separate
+    * `stat.bloomFilter` aggregation pass per batch. Properties that make
+    * an accumulator safe here: inserts are idempotent (task retries and
+    * speculative duplicates just re-set the same bits) and the driver only
+    * reads the value between jobs, after all task merges have landed.
+    * Allocation is lazy so an empty accumulator serializes in bytes, not
+    * filter-size. */
+  final class BloomAccumulator(expected: Long, fpp: Double = 0.01)
+      extends org.apache.spark.util.AccumulatorV2[Long, BloomFilter] {
+    private var filter: BloomFilter = null
+    override def isZero: Boolean = filter == null
+    override def copy(): BloomAccumulator = {
+      val c = new BloomAccumulator(expected, fpp)
+      if (filter != null) { c.ensure(); c.filter.mergeInPlace(filter) }
+      c
+    }
+    override def reset(): Unit = filter = null
+    private def ensure(): Unit =
+      if (filter == null) filter = newBloom(expected, fpp)
+    override def add(h: Long): Unit = { ensure(); filter.putLong(h) }
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, BloomFilter]): Unit =
+      if (!o.isZero) { ensure(); filter.mergeInPlace(o.value) }
+    /** Snapshot for broadcast — never exposes the live mutable filter. */
+    override def value: BloomFilter = {
+      ensure()
+      val snap = newBloom(expected, fpp)
+      snap.mergeInPlace(filter)
+      snap
+    }
+  }
 }

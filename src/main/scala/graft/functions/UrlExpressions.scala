@@ -74,14 +74,29 @@ case class UrlDomainOnly(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_domain_only"
 }
 
-/** `url_is_web_link(url)`: the P3 admission predicate. */
+/** `url_is_web_link(url)`: the P3 admission predicate. Genuinely
+  * non-nullable: a NULL url is not a web link, so the expression returns
+  * false for null input instead of propagating null — which is what lets
+  * `nullable = false` be declared safely (Catalyst may constant-fold
+  * IsNotNull around it). */
 case class UrlIsWebLink(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
-  override protected def nullSafeEval(input: Any): Any =
-    UrlEval.isWebLink(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.UrlEval.isWebLink($c)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && UrlEval.isWebLink(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} =
+          !${c.isNull} && graft.functions.UrlEval.isWebLink(${c.value});""",
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(newChild: Expression): UrlIsWebLink =
     copy(child = newChild)
   override def prettyName: String = "url_is_web_link"

@@ -164,4 +164,53 @@ object Dedup {
 
   val chunksUdf = udf((h: Long) =>
     (0 until 4).map(i => (i.toLong << 32) | ((h >>> (i * 16)) & 0xffffL)))
+
+  // ------------------------------------- exact set-similarity self-join
+
+  /** EXACT character-n-gram Jaccard pairs (score ≥ `threshold`) without a
+    * cartesian product: the AllPairs/PPJoin prefix filter (Bayardo et al.,
+    * WWW'07; Trino/Flink ship the same shape). Each doc indexes only its
+    * first `|g| - ⌈t·|g|⌉ + 1` grams under a global total order, and any
+    * pair with Jaccard ≥ t must share an indexed gram — so the equi-join
+    * on indexed grams is a complete candidate generator, and the exact
+    * Jaccard verify on candidates only keeps true pairs. The order is
+    * ascending DOCUMENT FREQUENCY (ties by gram hash): prefixes then hold
+    * each doc's rarest grams, so index buckets are small even though
+    * common natural-language n-grams appear in every doc — the property
+    * that keeps candidate volume near the true-pair count instead of
+    * corpus². Docs with no grams (shorter than n chars) have Jaccard 1
+    * with each other; they index a sentinel key and pair through the same
+    * equi-join — no BroadcastNestedLoop/Cartesian node anywhere. All
+    * shuffles key on gram or doc id; the gram-frequency join skew on stop
+    * n-grams is AQE-splittable. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val gramsUdf = udf((t: String) => TextKit.charNgramHashes(t, n))
+    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      TextKit.jaccardSorted(a.toArray, b.toArray))
+    val docs = df.select(col(idCol).as("id"),
+      sort_array(gramsUdf(col(textCol))).as("g"))
+    val exploded = docs.select(col("id"), size(col("g")).as("glen"),
+      explode(col("g")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gram_df"), col("gram"))
+    val prefix = exploded.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
+      .select("id", "gram")
+    val indexed = prefix.unionByName(docs.filter(size(col("g")) === 0)
+      .select(col("id"), lit(Long.MinValue).as("gram")))
+    val candidates = indexed.select(col("gram"), col("id").as("id_a"))
+      .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
 }

@@ -63,6 +63,22 @@ object TextKit {
     out.toArray
   }
 
+  /** Exact Jaccard over two SORTED distinct hash arrays — linear merge,
+    * no per-pair set allocation (the verify step of the set-similarity
+    * join calls this millions of times on a dense corpus). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** Exact Jaccard over two hash sets. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

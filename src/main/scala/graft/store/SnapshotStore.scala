@@ -23,13 +23,17 @@ final class SnapshotStore(root: String) {
 
   /** Commit `df` as snapshot `snapshot` of `table`. Data first, manifest
     * second, pointer rename last — a crash leaves either the old or the
-    * new snapshot fully visible, never a torn one. */
+    * new snapshot fully visible, never a torn one. The manifest row count
+    * rides the write as an observed metric: one evaluation per commit. */
   def commit(table: String, snapshot: Long, df: DataFrame,
       lineage: Map[String, String] = Map.empty): Unit = {
     val dir = snapshotDir(table, snapshot)
     val dataPath = dir.resolve("data").toString
-    val rows = df.count()
-    df.write.mode("overwrite").parquet(dataPath)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dataPath)
+    val rows = obs.get("rows").asInstanceOf[Long]
 
     val lineageJson = lineage.map { case (k, v) =>
       s""""${escape(k)}":"${escape(v)}""""

@@ -136,20 +136,69 @@ class CrawlSpec extends AnyFunSuite {
   }
 
   test("redirect target is credited into the seen set, never re-fetched") {
-    val result = newLoop(CrawlConfig(maxBatches = 4))
+    val result = newLoop(CrawlConfig(maxBatches = 3))
       .run(Seq("https://site-0.test/"))
     val seen = result.seen.collect().map(_.getAs[String]("url")).toSet
-    // /target is reachable only through the /alias 301
+    // /target is reached through the /alias 301 AND linked directly from
+    // /page/0 in the same batch — redirect credit must win: the target is
+    // seen, and never fetched as its own request, in either discovery path
     assert(seen.contains("https://site-0.test/target"))
     val requested = result.crawlLog.collect().map(_.getAs[String]("url"))
     assert(!requested.contains("https://site-0.test/target"),
-      "redirect-only target must never be dequeued as a request")
+      "a redirect-delivered target must never be dequeued as a request, " +
+        "even when a crawled page links it in the same batch")
     val aliasPage = result.pages
       .filter(org.apache.spark.sql.functions.col("url") ===
         "https://site-0.test/alias").collect()
     assert(aliasPage.head.getAs[String]("final_url") ==
       "https://site-0.test/target")
     assert(aliasPage.head.getAs[String]("title") == "Target of site 0")
+    // no URL is ever fetched twice across the whole run
+    val dupes = requested.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dupes.isEmpty, s"re-fetched URLs: ${dupes.take(5).mkString(", ")}")
+  }
+
+  test("robots gate holds when distinct hosts exceed the LRU cache") {
+    // 4 hosts through a cache of 1: eviction must never fail-open the
+    // gate for hosts being crawled in the current batch (the reference
+    // re-fetches on miss and never skips the gate, domaincache.py)
+    val result = newLoop(CrawlConfig(maxBatches = 2, robotsCacheSize = 1))
+      .run((0 until 4).map(k => s"https://site-$k.test/"))
+    val fetched = result.crawlLog.collect().map(_.getAs[String]("url"))
+    assert(fetched.nonEmpty)
+    assert(!fetched.exists(_.contains("/private/")),
+      "robots-disallowed URLs crawled after LRU eviction")
+    // and the same run with an uncapped cache fetches the same URL set
+    val uncapped = newLoop(CrawlConfig(maxBatches = 2))
+      .run((0 until 4).map(k => s"https://site-$k.test/"))
+    assert(fetched.sorted.toSeq ==
+      uncapped.crawlLog.collect().map(_.getAs[String]("url")).sorted.toSeq)
+  }
+
+  test("bloom auto-disables past capacity; results stay exact") {
+    // capacity 8 disables the accelerator on the first seen-delta; the
+    // crawl must fall back to the exact anti-join with identical results
+    val tiny = newLoop(CrawlConfig(maxBatches = 2, useBloom = true,
+      bloomExpected = 8)).run(Seq("https://site-0.test/"))
+    val exact = newLoop(CrawlConfig(maxBatches = 2, useBloom = false))
+      .run(Seq("https://site-0.test/"))
+    assert(tiny.seen.collect().map(_.getAs[String]("url")).sorted.toSeq ==
+      exact.seen.collect().map(_.getAs[String]("url")).sorted.toSeq)
+    val urls = tiny.crawlLog.collect().map(_.getAs[String]("url"))
+    assert(urls.distinct.length == urls.length, "duplicate fetches")
+  }
+
+  test("a fetch exception maps to 600 with its message, not 604") {
+    val net = SyntheticInternet(SyntheticConfig())
+    val resp = graft.fetch.FetchClient.fetchOne(
+      graft.model.FetchRequest.default("https://crash.test/"), net)
+    assert(resp.status == graft.http.Statuses.CodeException)
+    assert(resp.errors.exists(_.contains("synthetic connection reset")))
+    // no-deadline path classifies identically
+    val resp0 = graft.fetch.FetchClient.fetchOne(
+      graft.model.FetchRequest.default("https://crash.test/")
+        .copy(timeoutS = 0), net)
+    assert(resp0.status == graft.http.Statuses.CodeException)
   }
 
   test("fetch deadline (S3): a stalled read maps to status 604") {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.functions.{GraftExtensions, GraftFunctions, UrlIsWebLink}
 import graft.url.UrlKit
 
 /** Native Catalyst URL expressions: equal to the reference Scala
@@ -73,6 +73,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
     assert(plan.contains("*(1) Filter"), plan)
     assert(df.count() == 1000)
+  }
+
+  test("url_is_web_link is false (never null) on null input, both paths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // nullable column through codegen: null url → false, not null/NPE
+    val df = Seq(Some("https://a.test/"), None, Some("mailto:x@y"))
+      .toDF("url").selectExpr("url", "url_is_web_link(url) AS ok")
+    val rows = df.collect()
+    assert(!rows.exists(_.isNullAt(1)), "url_is_web_link returned null")
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, false, false))
+    // interpreted eval path agrees
+    val e = UrlIsWebLink(org.apache.spark.sql.catalyst.expressions.Literal(
+      null, org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == false)
+    assert(!e.nullable)
   }
 
   test("GraftExtensions injects the same functions at session build") {

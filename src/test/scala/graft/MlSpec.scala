@@ -73,6 +73,79 @@ class MlSpec extends AnyFunSuite {
     assert(sPairs.size < 100)
   }
 
+  test("prefix-filter set-similarity join equals the cartesian ground truth") {
+    // de-circularizes the q17 pipeline AND the q15 verify semantics: the
+    // scalable prefix-filtered join must reproduce the brute-force
+    // all-pairs form exactly on real sf0.01 documents (the form DuckDB
+    // independently verifies), including threshold edge behavior
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val grams = udf((t: String) => TextKit.charNgramHashes(t, 3))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      TextKit.jaccard(a.toArray, b.toArray))
+    val texts = docs.select(col("doc_id"), grams(col("text")).as("g"))
+    val brute = texts.as("a").crossJoin(texts.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", jac(col("a.g"), col("b.g")))
+      .filter(col("j") >= 0.6)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val fast = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    assert(brute.except(fast).count() == 0, "prefix filter lost pairs")
+    assert(fast.except(brute).count() == 0, "prefix filter invented pairs")
+    // empty-gram docs (shorter than n chars) pair with each other (jac=1)
+    import spark.implicits._
+    val tiny = Seq((1L, "ab"), (2L, "x"), (3L, "a full length document here"))
+      .toDF("doc_id", "text")
+    val tinyPairs = Dedup.exactJaccardPairs(tiny, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyPairs == Set((1L, 2L)))
+  }
+
+  test("lsh and simhash pairs are sound against recomputed ground truth") {
+    // de-circularizes the q15/q16 golden pins: every emitted pair must
+    // survive independent recomputation of its own acceptance criterion,
+    // and recall on planted near-dups must be total
+    import spark.implicits._
+    val base = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val planted = base.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .withColumn("text", concat(col("text"), lit(" appended")))
+    val docs = base.unionByName(planted)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // q15 shape: every pair's true shingle Jaccard ≥ threshold
+    val lsh = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b) =>
+      val j = TextKit.jaccard(TextKit.wordShingleHashes(texts(a), 3),
+        TextKit.wordShingleHashes(texts(b), 3))
+      assert(j >= 0.5, s"pair ($a,$b) has true jaccard $j < 0.5")
+    }
+    val plantedIds = planted.collect().map(_.getLong(0)).toSet
+    plantedIds.foreach { p =>
+      assert(lsh.exists(pr => pr._1 == p - 1000000000L && pr._2 == p),
+        s"planted dup $p not recalled by LSH")
+    }
+    // q16 shape: every emitted pair's recomputed simhash Hamming ≤ 3, and
+    // each planted pair is emitted IFF its true Hamming is within the
+    // threshold (appending a word can legitimately flip > 3 bits — the
+    // sketch measures distance, it does not promise recall of any edit)
+    val sh = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    sh.foreach { case (a, b, h) =>
+      val real = ImageKit.hamming(Dedup.simhash(texts(a)),
+        Dedup.simhash(texts(b)))
+      assert(real == h && real <= 3, s"pair ($a,$b): reported $h, real $real")
+    }
+    plantedIds.foreach { p =>
+      val trueH = ImageKit.hamming(Dedup.simhash(texts(p - 1000000000L)),
+        Dedup.simhash(texts(p)))
+      assert(sh.exists(pr => pr._1 == p - 1000000000L && pr._2 == p) ==
+        (trueH <= 3), s"planted $p: true hamming $trueH vs emitted set")
+    }
+  }
+
   test("ngram jaccard") {
     assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
       TextKit.charNgramHashes(docB, 3)) > 0.8)

@@ -236,16 +236,23 @@ object Bench {
       // in a steal burst — 8 slots can be at most ~2.6× slower than 32
       // (16 physical cores, SMT bonus), 2 slots at most ~4.5× slower than
       // 8. Re-measure while ratios are non-physical, budget permitting.
+      // recovery retries ignore the usual 1.2× estimate guard down to a
+      // small flat floor: a non-physical artifact is worse than a retry
+      // the reaper may cancel (cancelled retries just keep the old data)
+      def canRetry(slots: Int): Boolean =
+        remaining > math.min(1.2 * est(slots, cur), 25.0)
       var extra = 0
       while (extra < 4 && best.contains((8, cur)) && best.contains((32, cur)) &&
-          best((8, cur))._2 > 2.6 * best((32, cur))._2 &&
-          remaining > 1.2 * est(8, cur)) {
+          best((8, cur))._2 > 2.6 * best((32, cur))._2 && canRetry(8)) {
         measure(8, cur); extra += 1
       }
+      while (extra < 4 && best.contains((8, cur)) && best.contains((2, cur)) &&
+          best((8, cur))._2 > best((2, cur))._2 && canRetry(8)) {
+        measure(8, cur); extra += 1 // 8 slots cannot be slower than 2
+      }
       while (extra < 8 && best.contains((2, cur)) && best.contains((8, cur)) &&
-          best((2, cur))._2 > 4.5 * best((8, cur))._2 &&
-          remaining > 1.2 * est(2, cur)) {
-        measure(2, cur); extra += 1
+          best((2, cur))._2 > 4.5 * best((8, cur))._2 && canRetry(2)) {
+        measure(2, cur); extra += 1 // eff > 1.125 is impossible: 2 inflated
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] crawl phase failed: ${e.getMessage}")
@@ -265,10 +272,15 @@ object Bench {
     val tput32 = if (s32 > 0) n32 / s32 else 0.0
     val efficiency = if (tput2 > 0) (tput8 / tput2) / 4.0 else 0.0
     val efficiency32 = if (tput8 > 0) (tput32 / tput8) / 4.0 else 0.0
+    // self-describing honesty: ratios outside physical bounds mean a
+    // steal burst survived min-of-reps — the number is not load-bearing
+    // the flag covers the headline pair only — the supplementary 32-slot
+    // level (SMT-confounded and lowest-priority for retries) is excluded
+    val physical = s2 > 0 && s8 > 0 && s2 >= s8 && s2 <= 4.5 * s8
 
     val qs = times.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"sustained_fetch_dedup_urls_per_sec","value":$tput8%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","budget_s":$budgetS%.0f,"elapsed_s":$elapsed%.1f,"crawl_scaling":{"protocol":"task-slot counts emulate executor count in one local[$cpus] JVM; up to $reps interleaved reps per level inside the wall budget, min-time kept (sandbox CPU-steal filtering)","sites":$measuredSites,"slots_n":2,"slots_4n":8,"urls":$n8,"sec_n":$s2%.2f,"urls_per_sec_n":$tput2%.1f,"sec_4n":$s8%.2f,"urls_per_sec_4n":$tput8%.1f,"scaling_efficiency_n_to_4n":$efficiency%.3f,"slots_32_sec":$s32%.2f,"urls_per_sec_32":$tput32%.1f,"efficiency_8_to_32_smt_capped":$efficiency32%.3f},"pipeline_scaling":{"protocol":"Spark-free fetch+parse on plain threads, 8000 pages","pages_per_sec_2t":$pps2%.1f,"pages_per_sec_8t":$pps8%.1f,"efficiency_n_to_4n":$cpuEfficiency%.3f}}""")
+      f"""{"metric":"sustained_fetch_dedup_urls_per_sec","value":$tput8%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","budget_s":$budgetS%.0f,"elapsed_s":$elapsed%.1f,"crawl_scaling":{"protocol":"task-slot counts emulate executor count in one local[$cpus] JVM; up to $reps interleaved reps per level inside the wall budget, min-time kept (sandbox CPU-steal filtering)","sites":$measuredSites,"slots_n":2,"slots_4n":8,"urls":$n8,"sec_n":$s2%.2f,"urls_per_sec_n":$tput2%.1f,"sec_4n":$s8%.2f,"urls_per_sec_4n":$tput8%.1f,"scaling_efficiency_n_to_4n":$efficiency%.3f,"physical":$physical,"slots_32_sec":$s32%.2f,"urls_per_sec_32":$tput32%.1f,"efficiency_8_to_32_smt_capped":$efficiency32%.3f},"pipeline_scaling":{"protocol":"Spark-free fetch+parse on plain threads, 8000 pages","pages_per_sec_2t":$pps2%.1f,"pages_per_sec_8t":$pps8%.1f,"efficiency_n_to_4n":$cpuEfficiency%.3f}}""")
   }
 }

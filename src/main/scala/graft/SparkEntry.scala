@@ -224,6 +224,20 @@ object SparkEntry {
         .withColumn("quality_score", q(col("text")))
         .select("doc_id", "lang_pred", "quality_score")
     }),
+    "q24_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup: sign-sketch blocking + exact cosine
+      // verify. The oracle is a GENUINE DuckDB all-pairs mirror: at
+      // threshold 0.9 the only qualifying pairs in this corpus are the
+      // planted exact copies (natural random-embedding cosines top out
+      // ~0.5), and identical vectors share the sketch bit-for-bit, so
+      // blocking recall is exact where the oracle can see
+      val emb = ld(s, dir, "embeddings")
+      val planted = emb.orderBy("vec_id").limit(3)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      Dedup.embeddingNearDupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- crawl + multimodal ------------------------------------------
     "q22_crawl_log" -> ((s, dir) => {
       // deterministic columns only (crawl_time_ms is wall clock) so the
@@ -421,6 +435,19 @@ object SparkEntry {
         |    * (CASE WHEN upperratio > 0.4 THEN 0.3 ELSE 1.0 END))
         |    * (CASE WHEN stopratio < 0.05 THEN 0.6 ELSE 1.0 END)) AS quality_score
         |FROM m""".stripMargin,
+    "q24_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000 AS vec_id, embedding::DOUBLE[] AS e
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) *
+        |     sqrt(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE cos >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q22_crawl_log" ->
       s"SELECT * FROM read_parquet('$fixturesDir/q22_crawl_log.parquet')",
     "q23_image_pipeline" ->

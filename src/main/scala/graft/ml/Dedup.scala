@@ -165,6 +165,75 @@ object Dedup {
   val chunksUdf = udf((h: Long) =>
     (0 until 4).map(i => (i.toLong << 32) | ((h >>> (i * 16)) & 0xffffL)))
 
+  // --------------------------------------- embedding-cosine near-dup
+
+  /** 64-bit sign sketch of an embedding: bit i = sign of the dot product
+    * with a deterministic pseudo-random hyperplane (seeded splitmix —
+    * identical across executors and runs). Identical vectors share the
+    * sketch exactly; near-identical vectors differ in few bits. */
+  def signSketch(vec: Array[Double], planes: Int = 64,
+      seed: Long = 0x5eedL): Long = {
+    var out = 0L
+    var i = 0
+    while (i < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) {
+        // uniform in [-1, 1) from the mixed (plane, dim) counter
+        val h = graft.fetch.ImageKit.mix(seed ^ (i.toLong * 131071L + d))
+        dot += vec(d) * (h.toDouble / Long.MaxValue.toDouble)
+        d += 1
+      }
+      if (dot >= 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  val signSketchUdf = udf((v: Seq[Double]) => signSketch(v.toArray))
+  val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) =>
+    cosine(a.toArray, b.toArray))
+
+  /** Embedding-cosine near-duplicate pairs: sign sketch per row (one map
+    * pass), 4 × 16-bit chunk blocking like SimHash (duplicates and
+    * near-identical vectors agree on at least one chunk with overwhelming
+    * probability; exact duplicates with certainty), exact double-precision
+    * cosine verify on candidates only. Only 8-byte sketches shuffle —
+    * never the vectors; candidates re-join the vector column. The same
+    * 100 TB shape as q15: candidate volume tracks true-pair volume, not
+    * corpus². */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val chunked = vecs
+      .withColumn("sketch", signSketchUdf(col("v")))
+      .withColumn("chunk", explode(chunksUdf(col("sketch"))))
+      .select("id", "chunk")
+    val ok = survivingBuckets(chunked, "chunk", maxBucket, "embed-neardup")
+    val capped = chunked.join(ok, Seq("chunk"))
+    val candidates = capped.select(col("chunk"), col("id").as("id_a"))
+      .join(capped.select(col("chunk"), col("id").as("id_b")), Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cosine", cosineUdf(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   // ------------------------------------- exact set-similarity self-join
 
   /** EXACT character-n-gram Jaccard pairs (score ≥ `threshold`) without a

@@ -146,6 +146,35 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-cosine near-dup: sound, recalls noised planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val base = (0 until 200).map(i => (i.toLong, vec(i)))
+    // planted: tiny-noise copies of the first 3 (cosine ≈ 0.999)
+    val planted = (0 until 3).map { i =>
+      val v = vec(i).map(_ + rnd.nextGaussian() * 0.01)
+      (1000L + i, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"noised planted dup $i not recalled")
+    }
+    // soundness: every pair's recomputed cosine really is ≥ threshold
+    val byId = (base ++ planted).toMap
+    pairs.foreach { case (a, b) =>
+      assert(Dedup.cosine(byId(a), byId(b)) >= 0.95)
+    }
+    // and random non-dup vectors never qualify
+    assert(pairs.forall { case (a, b) => a < 3 && b == 1000L + a })
+  }
+
   test("ngram jaccard") {
     assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
       TextKit.charNgramHashes(docB, 3)) > 0.8)

@@ -238,6 +238,44 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    "q25_dedup_clusters" -> ((s, dir) => {
+      // keep-one-per-cluster assignment: exact-Jaccard pairs (the
+      // oracle-verifiable edge set) → connected components; the DuckDB
+      // mirror recomputes the same components with a recursive CTE
+      // deterministic half-corpus subset keeps the DuckDB mirror's
+      // all-pairs edge recomputation inside the driver's gate budget;
+      // the operator itself is subset-agnostic
+      val docs = withPlantedDups(
+        ld(s, dir, "documents").filter(col("doc_id") % 2 === 0), s)
+      val edges = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    "q26_repetition" -> ((s, dir) => {
+      // repetition-based quality signals (Gopher-style), pure built-ins —
+      // stays inside whole-stage codegen, no UDF
+      val words = filter(split(col("text"), " "), x => x =!= "")
+      val bigrams = zip_with(
+        slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      ld(s, dir, "documents")
+        .withColumn("n_words", size(words))
+        .withColumn("n_distinct_words", size(array_distinct(words)))
+        .withColumn("dup_word_ratio",
+          when(size(words) === 0, 0.0).otherwise(
+            lit(1.0) - size(array_distinct(words)).cast("double")
+              / size(words)))
+        .withColumn("dup_bigram_ratio",
+          when(size(bigrams) === 0, 0.0).otherwise(
+            lit(1.0) - size(array_distinct(bigrams)).cast("double")
+              / size(bigrams)))
+        .select("doc_id", "n_words", "n_distinct_words",
+          "dup_word_ratio", "dup_bigram_ratio")
+    }),
     // ---- crawl + multimodal ------------------------------------------
     "q22_crawl_log" -> ((s, dir) => {
       // deterministic columns only (crawl_time_ms is wall clock) so the
@@ -435,6 +473,55 @@ object SparkEntry {
         |    * (CASE WHEN upperratio > 0.4 THEN 0.3 ELSE 1.0 END))
         |    * (CASE WHEN stopratio < 0.05 THEN 0.6 ELSE 1.0 END)) AS quality_score
         |FROM m""".stripMargin,
+    "q25_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text || ' appended' AS text
+        |  FROM (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 3)),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+        |    i -> substr(lower(text), i::INT, 3))) AS g
+        |  FROM docs),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a, id_b FROM (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+        |         WHEN len(ga) = 0 OR len(gb) = 0 THEN 0.0
+        |         ELSE len(list_intersect(ga, gb))::DOUBLE /
+        |              (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS jac
+        |  FROM pairs) WHERE jac >= 0.6),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM docs
+        |  UNION
+        |  SELECT u.dst AS id, w.comp AS comp
+        |  FROM walk w JOIN und u ON u.src = w.id
+        |  WHERE w.comp < u.dst)
+        |SELECT id AS doc_id, min(comp) AS component FROM walk
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q26_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    list_transform(range(1, len(w)),
+        |      i -> w[i::INT] || ' ' || w[(i+1)::INT])
+        |  ELSE []::VARCHAR[] END AS bg FROM t)
+        |SELECT doc_id, len(w) AS n_words,
+        |  len(list_distinct(w)) AS n_distinct_words,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END
+        |    AS dup_word_ratio,
+        |  CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END
+        |    AS dup_bigram_ratio
+        |FROM b""".stripMargin,
     "q24_embed_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

@@ -165,6 +165,50 @@ object Dedup {
   val chunksUdf = udf((h: Long) =>
     (0 until 4).map(i => (i.toLong << 32) | ((h >>> (i * 16)) & 0xffffL)))
 
+  // --------------------------------------- dedup cluster assignment
+
+  /** Connected components over near-duplicate pairs — the "keep one doc
+    * per duplicate cluster" primitive of a training-data pipeline. Plain
+    * iterative neighbor-min label propagation: each round every node takes
+    * the minimum label among itself and its neighbors, checkpointed per
+    * round with the converged-check riding the checkpoint as an observed
+    * metric (no extra job). Converges in graph-diameter rounds — tiny for
+    * near-dup clusters, which are dense by construction; for general
+    * web-graph-diameter inputs swap in large-star/small-star (same
+    * interface). Returns (id, component = min id in the component). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = und
+        .join(labels.select(col("id").as("dst"),
+          col("component").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val obs = org.apache.spark.sql.Observation()
+      labels = labels.join(neighborMin, Seq("id"), "left")
+        .withColumn("next",
+          least(col("component"), coalesce(col("nmin"), col("component"))))
+        .observe(obs, sum(when(col("next") < col("component"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("next").as("component"))
+        .localCheckpoint(true)
+      changed = obs.get("changed").asInstanceOf[Long]
+      iter += 1
+    }
+    if (changed > 0)
+      println(s"[dedup] connectedComponents: not converged in $maxIter " +
+        "rounds — graph diameter exceeds the near-dup regime")
+    labels
+  }
+
   // --------------------------------------- embedding-cosine near-dup
 
   /** 64-bit sign sketch of an embedding: bit i = sign of the dot product

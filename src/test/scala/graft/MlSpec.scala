@@ -175,6 +175,20 @@ class MlSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < 3 && b == 1000L + a })
   }
 
+  test("connected components label chains, cliques and singletons") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    // a 4-chain (1-2-3-4), a triangle (5,6,7), an edge (8,9), singleton 10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(comp(_) == 1L))
+    assert((5L to 7L).forall(comp(_) == 5L))
+    assert(comp(8L) == 8L && comp(9L) == 8L)
+    assert(comp(10L) == 10L)
+  }
+
   test("ngram jaccard") {
     assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
       TextKit.charNgramHashes(docB, 3)) > 0.8)

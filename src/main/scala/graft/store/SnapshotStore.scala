@@ -38,9 +38,25 @@ final class SnapshotStore(root: String) {
     val lineageJson = lineage.map { case (k, v) =>
       s""""${escape(k)}":"${escape(v)}""""
     }.mkString("{", ",", "}")
+    // per-partition lineage: every data file (one per write partition)
+    // with its byte size — read straight from the written directory, no
+    // extra Spark job; a resume can verify parts individually
+    val partsJson = {
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dataPath))
+        .iterator()
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      while (files.hasNext) {
+        val f = files.next()
+        val n = f.getFileName.toString
+        if (n.startsWith("part-"))
+          buf += s""""${escape(n)}":${java.nio.file.Files.size(f)}"""
+      }
+      buf.sorted.mkString("{", ",", "}")
+    }
     val manifest =
       s"""{"table":"${escape(table)}","snapshot":$snapshot,
          |"data":"${escape(dataPath)}","rows":$rows,
+         |"partitions":$partsJson,
          |"lineage":$lineageJson}""".stripMargin.replace("\n", "")
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("manifest.json"), manifest)

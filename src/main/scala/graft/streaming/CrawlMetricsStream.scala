@@ -81,4 +81,22 @@ object CrawlMetricsStream {
           }
       }
   }
+
+  final case class DiscoveredUrl(
+      url: String, url_hash: Long, event_time: Timestamp)
+
+  /** Streaming first-occurrence filter — J-1 as a stream. In a
+    * continuous-ingest deployment, freshly extracted links stream in and
+    * only first occurrences flow onward to the frontier writer;
+    * `dropDuplicatesWithinWatermark` keys state by `url_hash` and ages it
+    * out at the watermark horizon, so dedup state is bounded by the
+    * horizon's URL volume instead of crawl history. Full-history
+    * exactness stays the batch loop's job (the exact anti-join against
+    * the seen table); this operator is the cheap streaming pre-filter in
+    * front of it — the same two-tier contract as the Bloom accelerator. */
+  def firstOccurrences(urls: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    urls
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("url_hash")
 }

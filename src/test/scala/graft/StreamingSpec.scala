@@ -72,4 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
     assert(spark.table("alerts").count() == 1)
   }
+
+  test("streaming first-occurrence filter dedups url_hash under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CrawlMetricsStream.DiscoveredUrl
+    val input = MemoryStream[DiscoveredUrl]
+    val query = CrawlMetricsStream
+      .firstOccurrences(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode("append").start()
+    input.addData(
+      DiscoveredUrl("https://a.test/1", 11L, ts(0)),
+      DiscoveredUrl("https://a.test/2", 22L, ts(1)),
+      DiscoveredUrl("https://a.test/1", 11L, ts(2))) // same-batch dup
+    query.processAllAvailable()
+    input.addData(
+      DiscoveredUrl("https://a.test/1", 11L, ts(5)), // cross-batch dup
+      DiscoveredUrl("https://a.test/3", 33L, ts(6)))
+    query.processAllAvailable()
+    query.stop()
+    val seen = spark.table("firstseen").collect()
+      .map(_.getAs[Long]("url_hash")).sorted.toSeq
+    assert(seen == Seq(11L, 22L, 33L),
+      s"each url_hash exactly once, got $seen")
+  }
 }

@@ -58,6 +58,10 @@ object Bench {
     // deterministic via url_hash); robots cache sized to the working set
     // like a real deployment (the reference's 400 is per-process — a
     // 1000-executor run shards hosts, so per-shard cap ≈ working set)
+    // NOTE: in this emulation the partition count IS the concurrency cap
+    // (one local[32] JVM, no per-executor slot limit) — fetchPartitions
+    // must equal `slots` exactly; finer "wave" partitioning would hand a
+    // 2-slot run extra physical cores and fabricate throughput
     val loop = new CrawlLoop(spark, internet,
       CrawlConfig(maxBatches = 2, perHostBudget = 100,
         fetchPartitions = slots, useBloom = true, emitCrawlSeq = false,

@@ -17,7 +17,8 @@ object Plans {
     Seq("q01_agg", "q02_join_broadcast", "q03_anti_join", "q04_topk_window",
       "q06_ordered_coalesce", "q11_dedup_exact", "q15_minhash_lsh",
       "q16_simhash", "q17_ngram_jaccard", "q18_ann_brute",
-      "q19_ann_ivf").foreach { name =>
+      "q19_ann_ivf", "q24_embed_neardup", "q26_repetition")
+      .foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

@@ -88,4 +88,113 @@ object SeenSet {
       snap
     }
   }
+
+  /** Hash-range-partitioned Bloom: R independent filters, each owning the
+    * url_hash range `pmod(h, R) == r` — the 10^10-URL design scale path
+    * (replaces the single-filter auto-disable caveat). Why ranges, and
+    * why keyed on url_hash: the exact anti-join that the filter
+    * accelerates is keyed on url_hash, so at design scale the seen table
+    * is bucketed by url_hash range and EACH RANGE'S FILTER LIVES WHERE
+    * THAT RANGE'S PROBES RUN — a task probes exactly one resident filter,
+    * no node ever needs the full set. Capacity scales linearly with R at
+    * constant per-filter size and fpp (10^10 URLs / 4096 ranges ≈ 2.4M
+    * per filter ≈ 3 MB at 1%), and accumulator merge traffic stays small
+    * because allocation is lazy per range: a task tapping a
+    * hash-clustered slice of the delta only materializes the few ranges
+    * it actually touched. In this one-JVM sandbox the ranges are
+    * exercised via broadcast of the whole array (16 ranges in tests);
+    * the partitioning, routing, lazy allocation, and per-range sizing
+    * are the real thing. */
+  final class PartitionedBloom(val ranges: Int, val filters: Array[BloomFilter])
+      extends Serializable {
+    def rangeOf(h: Long): Int = (((h % ranges) + ranges) % ranges).toInt
+    def mightContainLong(h: Long): Boolean = {
+      val f = filters(rangeOf(h))
+      f != null && f.mightContainLong(h)
+    }
+  }
+
+  final class PartitionedBloomAccumulator(ranges: Int, expectedTotal: Long,
+      fpp: Double = 0.01)
+      extends org.apache.spark.util.AccumulatorV2[Long, PartitionedBloom] {
+    require(ranges >= 1, "ranges must be >= 1")
+    private val perRange = math.max(1000L, expectedTotal / ranges)
+    private var filters: Array[BloomFilter] = null
+    private def rangeOf(h: Long): Int = (((h % ranges) + ranges) % ranges).toInt
+    private def ensure(): Unit =
+      if (filters == null) filters = new Array[BloomFilter](ranges)
+    override def isZero: Boolean = filters == null
+    override def copy(): PartitionedBloomAccumulator = {
+      val c = new PartitionedBloomAccumulator(ranges, expectedTotal, fpp)
+      if (filters != null) {
+        c.ensure()
+        var r = 0
+        while (r < ranges) {
+          if (filters(r) != null) {
+            c.filters(r) = BloomFilter.create(perRange, fpp)
+            c.filters(r).mergeInPlace(filters(r))
+          }
+          r += 1
+        }
+      }
+      c
+    }
+    override def reset(): Unit = filters = null
+    override def add(h: Long): Unit = {
+      ensure()
+      val r = rangeOf(h)
+      if (filters(r) == null) filters(r) = BloomFilter.create(perRange, fpp)
+      filters(r).putLong(h)
+    }
+    private def mergeArray(other: Array[BloomFilter]): Unit = {
+      ensure()
+      var r = 0
+      while (r < ranges) {
+        if (other(r) != null) {
+          if (filters(r) == null) filters(r) = BloomFilter.create(perRange, fpp)
+          filters(r).mergeInPlace(other(r))
+        }
+        r += 1
+      }
+    }
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, PartitionedBloom]): Unit =
+      o match {
+        // task-side partials merge directly — no snapshot copy on the
+        // per-task merge path
+        case p: PartitionedBloomAccumulator if p.filters != null =>
+          mergeArray(p.filters)
+        case p: PartitionedBloomAccumulator => ()
+        case other if !other.isZero => mergeArray(other.value.filters)
+        case _ => ()
+      }
+    /** Snapshot (deep copy of the populated ranges) for broadcast. */
+    override def value: PartitionedBloom = {
+      ensure()
+      val snap = new Array[BloomFilter](ranges)
+      var r = 0
+      while (r < ranges) {
+        if (filters(r) != null) {
+          snap(r) = BloomFilter.create(perRange, fpp)
+          snap(r).mergeInPlace(filters(r))
+        }
+        r += 1
+      }
+      new PartitionedBloom(ranges, snap)
+    }
+  }
+
+  /** The two-tier split against a partitioned filter: identical contract
+    * to [[filterNewWithBloom]] — "definitely new" skips the join,
+    * "possibly seen" is guarded by the exact anti-join, so correctness
+    * never depends on the filter. */
+  def filterNewWithPartitionedBloom(candidates: DataFrame, seen: DataFrame,
+      bloom: PartitionedBloom): DataFrame = {
+    val spark = candidates.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val definitelyNew = candidates.filter(!mightContain(col("url_hash")))
+    val possiblySeen = candidates.filter(mightContain(col("url_hash")))
+    definitelyNew.unionByName(filterNewExact(possiblySeen, seen))
+  }
 }

@@ -60,19 +60,54 @@ object Dedup {
   /** Degenerate-bucket guard: a bucket of n members implies n(n-1)/2
     * candidate pairs; empty/boilerplate documents — ubiquitous in web
     * corpora — all collide into the same bucket and would explode
-    * quadratically. Buckets above the cap are dropped (and logged):
-    * *identical* documents are exact-dedup's job (q11), not LSH's. */
+    * quadratically. Buckets above the cap are dropped: *identical*
+    * documents are exact-dedup's job (q11), not LSH's.
+    *
+    * The surviving bucket-key list is tiny and referenced on BOTH sides
+    * of the candidate self-join, so it is checkpointed here: one eager
+    * job replaces the old extra `.head()` probe (r3 VERDICT #6), the
+    * self-join reuses the materialized keys instead of recomputing the
+    * bucket aggregation per side, and the dropped-bucket accounting
+    * rides that same job as an `Observation` — [[droppedBuckets]]
+    * exposes (count, largest) as metrics, not stdout (r3 ADVICE #5).
+    * (The observe cannot sit un-checkpointed inside the self-join: a
+    * duplicated CollectMetrics subtree deadlocks AQE's final-plan
+    * update.) */
   private def survivingBuckets(exploded: DataFrame, keyCol: String,
       maxBucket: Int, op: String): DataFrame = {
-    val sizes = exploded.groupBy(keyCol).agg(count(lit(1)).as("n"))
-    val over = sizes.filter(col("n") > maxBucket)
-      .agg(count(lit(1)).as("buckets"), max(col("n")).as("largest")).head()
-    if (!over.isNullAt(0) && over.getLong(0) > 0)
-      println(s"[dedup] $op: dropped ${over.getLong(0)} degenerate " +
-        s"bucket(s) over $maxBucket members (largest ${over.getLong(1)}) — " +
-        "identical docs belong to exact dedup")
-    sizes.filter(col("n") > 1 && col("n") <= maxBucket).select(keyCol)
+    val obs = org.apache.spark.sql.Observation()
+    bucketObservations.put(op, (obs, maxBucket))
+    exploded.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .observe(obs,
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        max(when(col("n") > maxBucket, col("n"))).as("largest_dropped"))
+      .filter(col("n") <= maxBucket)
+      .select(keyCol)
+      .localCheckpoint(true)
   }
+
+  private val bucketObservations =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (org.apache.spark.sql.Observation, Int)]()
+
+  /** (dropped buckets, largest dropped size) of the LAST call of `op`
+    * ("minhash-lsh" | "simhash" | "embed-neardup") — available as soon as
+    * that call returns (the metric rides the eager bucket-key
+    * checkpoint). Zero dropped → Some((0, 0)). */
+  def droppedBuckets(op: String): Option[(Long, Long)] =
+    Option(bucketObservations.get(op)).flatMap { case (obs, _) =>
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          def longAt(name: String): Long = {
+            val i = row.fieldIndex(name)
+            if (row.isNullAt(i)) 0L else row.getLong(i)
+          }
+          Some((longAt("dropped_buckets"), longAt("largest_dropped")))
+        case _ => None
+      }
+    }
 
   /** MinHash-LSH candidate pairs: df(idCol, textCol) → (id_a, id_b) with
     * id_a < id_b. Only sketches shuffle; pairs come from a self-join on
@@ -204,9 +239,79 @@ object Dedup {
       iter += 1
     }
     if (changed > 0)
-      println(s"[dedup] connectedComponents: not converged in $maxIter " +
-        "rounds — graph diameter exceeds the near-dup regime")
+      // fail LOUDLY (ADVICE r3: a println left silently-wrong labels on
+      // chain-shaped clusters): unconverged neighbor-min labels are not
+      // component ids, and the caller chose the wrong algorithm
+      throw new IllegalStateException(
+        s"connectedComponents: not converged in $maxIter rounds — graph " +
+          "diameter exceeds the near-dup regime; use " +
+          "connectedComponentsStar (large-star/small-star) or raise maxIter")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the general-graph algorithm: O(log²) rounds in
+    * the worst case regardless of diameter, vs neighbor-min's
+    * diameter-many rounds. Same contract as [[connectedComponents]]:
+    * (id, component = min id in the component).
+    *
+    * Each round is two shuffle-by-node passes over the EDGE set only
+    * (labels are implicit in the edge structure — nothing else
+    * materializes): large-star hangs every neighbor larger than u off the
+    * minimum of u's neighborhood, small-star re-hangs the smaller ones;
+    * the fixed point is a star forest whose centers are component minima.
+    * Convergence is detected by an (edge count, edge-hash sum) signature
+    * — one tiny aggregate action per round on a frame that is
+    * checkpointed anyway. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    var sig = (-1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: over both edge directions, m = min(N(u) ∪ {u});
+      // emit (v, m) for the strictly larger neighbors v > u
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val large = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: direct every edge large→small, m = min(N(u)) < u;
+      // re-hang u and its smaller neighbors off m
+      val directed = large.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val small = directed
+        .withColumn("m", min(col("v")).over(wU))
+        .select(explode(array(
+          struct(col("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("s"))
+        .select(col("s.u"), col("s.v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val row = small.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      val newSig = (row.getLong(0), row.getLong(1))
+      converged = newSig == sig
+      sig = newSig
+      e = small
+      iter += 1
+    }
+    if (!converged && sig._1 > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixed point in $maxIter rounds")
+    // fixed point: e is a star forest (u → component-min center)
+    val centers = e.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("comp"))
+    nodes.select(col("id"))
+      .join(centers, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
   // --------------------------------------- embedding-cosine near-dup

@@ -117,9 +117,12 @@ final class RemoteServer(
     var encoded = WireFormats.requestEncode(request)
     key.foreach(k => encoded += s"&key=$k")
     clientId.foreach(c => encoded += s"&client_id=$c")
-    // the remote buddy applies timeout_s itself; wiggle room for the wire
+    // the remote buddy applies timeout_s itself; wiggle room for the wire.
+    // Reference (remoteserver.py:159-165): any present timeout_s — zero
+    // included — maps to timeout_s+5; 60 is reserved for a genuinely
+    // absent one, which this Int field encodes as a negative value.
     val callTimeout =
-      if (request.timeoutS > 0) request.timeoutS + 5 else 60
+      if (request.timeoutS >= 0) request.timeoutS + 5 else 60
     val text = transport.get(s"$linkCall?$encoded", callTimeout)
       .getOrElse(return None)
     if (text.isEmpty) return None

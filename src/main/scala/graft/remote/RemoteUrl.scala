@@ -75,8 +75,10 @@ final class RemoteUrl(
   def isValid: Boolean = response.exists(r => Statuses.isValid(r.status))
   def isInvalid: Boolean = response.exists(r => Statuses.isInvalid(r.status))
 
-  /** Entries section, date-coerced per entry (remoteurl.py:206-225). */
-  def entries: Seq[Map[String, JValue]] = allProperties
+  /** Entries section, date-coerced per entry (remoteurl.py:206-225).
+    * Reads only PRE-FETCHED properties — the reference never triggers a
+    * remote /api/get from here and returns [] when nothing was fetched. */
+  def entries: Seq[Map[String, JValue]] = allPropertiesOpt
     .flatMap(RemoteServer.readPropertiesSection("Entries", _)) match {
     case Some(JArray(es)) => es.collect { case JObject(fields) =>
       fields.toMap.map {
@@ -114,8 +116,10 @@ final class RemoteUrl(
   def bodyHash: Option[Array[Byte]] = response.flatMap(_.bodyHash)
 
   /** PropertiesHash section, base64-decoded (remoteurl.py:269-277;
-    * webtools.json_decode_field). */
-  def metaHash: Option[Array[Byte]] = allProperties
+    * webtools.json_decode_field). Like [[entries]], pre-fetched
+    * properties only — no lazy remote call (remoteurl.py reads
+    * `self.all_properties` directly and yields None when absent). */
+  def metaHash: Option[Array[Byte]] = allPropertiesOpt
     .flatMap(RemoteServer.readPropertiesSection("PropertiesHash", _)) match {
     case Some(JString(b64)) if b64.nonEmpty =>
       scala.util.Try(java.util.Base64.getDecoder.decode(b64)).toOption

@@ -41,18 +41,10 @@ final class SnapshotStore(root: String) {
     // per-partition lineage: every data file (one per write partition)
     // with its byte size — read straight from the written directory, no
     // extra Spark job; a resume can verify parts individually
-    val partsJson = {
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dataPath))
-        .iterator()
-      val buf = scala.collection.mutable.ListBuffer[String]()
-      while (files.hasNext) {
-        val f = files.next()
-        val n = f.getFileName.toString
-        if (n.startsWith("part-"))
-          buf += s""""${escape(n)}":${java.nio.file.Files.size(f)}"""
-      }
-      buf.sorted.mkString("{", ",", "}")
-    }
+    val partsJson =
+      partFiles(Paths.get(dataPath)).map { case (n, size) =>
+        s""""${escape(n)}":$size"""
+      }.sorted.mkString("{", ",", "}")
     val manifest =
       s"""{"table":"${escape(table)}","snapshot":$snapshot,
          |"data":"${escape(dataPath)}","rows":$rows,
@@ -88,6 +80,44 @@ final class SnapshotStore(root: String) {
   def manifest(table: String, snapshot: Long): Option[String] = {
     val p = snapshotDir(table, snapshot).resolve("manifest.json")
     if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  /** Check a committed snapshot's per-partition lineage against what is
+    * on disk: every part file the manifest recorded must exist with the
+    * recorded byte size, and no extra part files may have appeared.
+    * Returns the mismatches (empty = verified) so a resume can refuse a
+    * torn or tampered snapshot instead of silently reading it. */
+  def verify(table: String, snapshot: Long): Seq[String] = {
+    val man = manifest(table, snapshot)
+      .getOrElse(return Seq(s"missing manifest for $table/$snapshot"))
+    val recorded = """"(part-[^"]+)"\s*:\s*(\d+)""".r
+      .findAllMatchIn(man).map(m => m.group(1) -> m.group(2).toLong).toMap
+    val dataPath = snapshotDir(table, snapshot).resolve("data")
+    if (!Files.exists(dataPath))
+      return Seq(s"missing data dir $dataPath")
+    val actual = partFiles(dataPath).toMap
+    val missing = (recorded.keySet -- actual.keySet).toSeq.sorted
+      .map(n => s"missing part $n")
+    val extra = (actual.keySet -- recorded.keySet).toSeq.sorted
+      .map(n => s"unrecorded part $n")
+    val resized = recorded.keySet.intersect(actual.keySet).toSeq.sorted
+      .filter(n => recorded(n) != actual(n))
+      .map(n => s"size mismatch $n: manifest ${recorded(n)} disk ${actual(n)}")
+    missing ++ extra ++ resized
+  }
+
+  /** part-* files of a data dir with byte sizes; the listing stream is
+    * closed deterministically (it holds a directory fd). */
+  private def partFiles(dataPath: java.nio.file.Path): Seq[(String, Long)] = {
+    val stream = Files.list(dataPath)
+    try {
+      val buf = scala.collection.mutable.ListBuffer[(String, Long)]()
+      stream.iterator().forEachRemaining { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("part-")) buf += (n -> Files.size(f))
+      }
+      buf.toSeq
+    } finally stream.close()
   }
 
   private def escape(s: String): String =

@@ -188,6 +188,41 @@ class CrawlSpec extends AnyFunSuite {
     assert(urls.distinct.length == urls.length, "duplicate fetches")
   }
 
+  test("partitioned bloom (8 url_hash ranges) stays exact vs no bloom") {
+    // the 10^10-scale path: per-range filters, routed adds and probes —
+    // must be behaviorally identical to the exact-only loop
+    val ranged = newLoop(CrawlConfig(maxBatches = 2, useBloom = true,
+      bloomRanges = 8)).run(Seq("https://site-0.test/"))
+    val exact = newLoop(CrawlConfig(maxBatches = 2, useBloom = false))
+      .run(Seq("https://site-0.test/"))
+    assert(ranged.seen.collect().map(_.getAs[String]("url")).sorted.toSeq ==
+      exact.seen.collect().map(_.getAs[String]("url")).sorted.toSeq)
+    val urls = ranged.crawlLog.collect().map(_.getAs[String]("url"))
+    assert(urls.distinct.length == urls.length, "duplicate fetches")
+  }
+
+  test("partitioned bloom accumulator: routing, merge, lazy ranges") {
+    import graft.frontier.SeenSet
+    val a = new SeenSet.PartitionedBloomAccumulator(4, 4000)
+    val b = new SeenSet.PartitionedBloomAccumulator(4, 4000)
+    val hs = (0L until 400L).map(i => i * 2654435761L - 200L)
+    hs.take(200).foreach(a.add)
+    hs.drop(200).foreach(b.add)
+    a.merge(b)
+    val v = a.value
+    assert(hs.forall(v.mightContainLong), "inserted hash not found")
+    // ranges route consistently: a hash only sets bits in its own range
+    val lone = new SeenSet.PartitionedBloomAccumulator(4, 4000)
+    lone.add(42L)
+    val lv = lone.value
+    assert(lv.filters.count(_ != null) == 1, "lazy allocation broken")
+    assert(lv.mightContainLong(42L))
+    assert(lv.filters(lv.rangeOf(42L)) != null)
+    // a hash owned by an unallocated range is definitely-new, no lookup
+    val otherRange = (0L until 10L).find(h => lv.rangeOf(h) != lv.rangeOf(42L)).get
+    assert(!lv.mightContainLong(otherRange))
+  }
+
   test("a fetch exception maps to 600 with its message, not 604") {
     val net = SyntheticInternet(SyntheticConfig())
     val resp = graft.fetch.FetchClient.fetchOne(

@@ -1,0 +1,136 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.fetch.{FetchClient, SyntheticConfig, SyntheticInternet}
+import graft.model.FetchRequest
+import graft.remote.{CrawlerBuddy, HttpTransport, RemoteServer}
+
+/** The production socket path (VERDICT r3 ask #2): [[HttpTransport]]
+  * driving the full S11 client over a real loopback TCP socket, against
+  * a `com.sun.net.httpserver.HttpServer` that wraps [[CrawlerBuddy]] —
+  * the same engine the in-process transport exercises, now with HTTP
+  * framing, URL encoding, query-param parsing, and JSON bodies crossing
+  * an actual wire. Reference semantics: remoteserver.py:159-196 (GET),
+  * :312-345 (POST /set). */
+class HttpTransportSpec extends AnyFunSuite {
+
+  val internet = SyntheticInternet(SyntheticConfig(
+    seed = 42L, nSites = 1, pagesPerSite = 2, imagesPerSite = 1,
+    itemsPerFeed = 2))
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").toSeq.flatMap(_.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }).toMap
+
+  /** Serve `buddy` on an ephemeral loopback port; run `f(baseUrl)`. */
+  private def withBuddyServer(buddy: CrawlerBuddy,
+      slowPathDelayMs: Long = 0)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        if (slowPathDelayMs > 0) Thread.sleep(slowPathDelayMs)
+        if (ex.getRequestMethod == "POST") {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val ok = buddy.servePost(ex.getRequestURI.getPath, body,
+            queryParams(ex))
+          respond(ex, if (ok) 200 else 400, if (ok) "ok" else "bad")
+        } else {
+          // path?query exactly as received — serveGet's scheme-strip is a
+          // no-op on it, matching what the reference buddy's router sees
+          buddy.serveGet(ex.getRequestURI.toString) match {
+            case Some(body) => respond(ex, 200, body)
+            case None       => respond(ex, 500, "")
+          }
+        }
+      } catch { case _: Throwable => respond(ex, 500, "") }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HTTP /api/get: byte parity with the in-process transport") {
+    val buddy = new CrawlerBuddy(internet)
+    withBuddyServer(buddy) { base =>
+      val overHttp = new RemoteServer(base, new HttpTransport)
+        .getGetJ(url = Some("https://site-0.test"))
+      val inProcess = new RemoteServer("http://buddy.local:3000",
+        new CrawlerBuddy.InProcessTransport(new CrawlerBuddy(internet)))
+        .getGetJ(url = Some("https://site-0.test"))
+      assert(overHttp.nonEmpty && inProcess.nonEmpty)
+      assert(JsonMethods.compact(JsonMethods.render(overHttp.get)) ==
+        JsonMethods.compact(JsonMethods.render(inProcess.get)))
+    }
+  }
+
+  test("HTTP set/findj: POST body + query params survive the socket") {
+    val buddy = new CrawlerBuddy(internet)
+    withBuddyServer(buddy) { base =>
+      val server = new RemoteServer(base, new HttpTransport)
+      val resp = FetchClient.fetchOne(
+        FetchRequest.default("https://site-0.test"), internet)
+      assert(server.set(resp, crawlId = Some("c1"),
+        url = Some("https://site-0.test")))
+      val found = server.findJ(crawlId = Some("c1"),
+        url = Some("https://site-0.test"))
+      assert(found.nonEmpty)
+      assert((found.get \ "status_code") == JInt(200))
+      assert(server.findJ(crawlId = Some("nope"))
+        .exists(j => (j \ "success") == JBool(false)))
+    }
+  }
+
+  test("HTTP ping/info and the key gate over the socket") {
+    withBuddyServer(new CrawlerBuddy(internet, Some("right"))) { base =>
+      val good = new RemoteServer(base, new HttpTransport, key = Some("right"))
+      assert(good.getPingJ(url = Some("https://site-0.test")).contains(200))
+      assert(good.getInfoJ().exists(j => (j \ "success") == JBool(true)))
+      val wrong = new RemoteServer(base, new HttpTransport, key = Some("no"))
+      assert(wrong.getGetJ(url = Some("https://site-0.test")).isEmpty)
+    }
+  }
+
+  test("transport timeout: a slow buddy maps to None, not a hang") {
+    val t = new HttpTransport
+    withBuddyServer(new CrawlerBuddy(internet), slowPathDelayMs = 3000) {
+      base =>
+        val t0 = System.nanoTime()
+        assert(t.get(s"$base/api/info", timeoutS = 1).isEmpty)
+        assert((System.nanoTime() - t0) / 1e9 < 2.9)
+    }
+  }
+
+  test("transport error (connection refused) maps to None/false") {
+    val t = new HttpTransport
+    // an ephemeral port we just closed — nothing listens there
+    val dead = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      val p = s.getAddress.getPort
+      s.stop(0)
+      s"http://127.0.0.1:$p"
+    }
+    assert(t.get(s"$dead/api/info", 2).isEmpty)
+    assert(!t.post(s"$dead/set", "{}", Map("url" -> "x"), 2))
+    assert(new RemoteServer(dead, t)
+      .getGetJ(url = Some("https://site-0.test")).isEmpty)
+  }
+}

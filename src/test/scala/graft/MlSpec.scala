@@ -189,6 +189,52 @@ class MlSpec extends AnyFunSuite {
     assert(comp(10L) == 10L)
   }
 
+  test("large-star/small-star labels chains, cliques and singletons") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(comp(_) == 1L))
+    assert((5L to 7L).forall(comp(_) == 5L))
+    assert(comp(8L) == 8L && comp(9L) == 8L)
+    assert(comp(10L) == 10L)
+  }
+
+  test("high-diameter path: neighbor-min fails loudly, star converges") {
+    import spark.implicits._
+    // a 120-node path — diameter 119 exceeds neighbor-min's default 25
+    // rounds; silently-wrong labels were the r3 ADVICE bug, so the
+    // diameter-bound algorithm must now THROW, and the large-star/
+    // small-star one must label the whole path in O(log) rounds
+    val n = 120
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 25).collect()
+    }
+    val comp = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(comp(_) == 1L))
+  }
+
+  test("dropped degenerate buckets surface as observed metrics") {
+    import spark.implicits._
+    // 40 identical docs collide into every simhash chunk bucket; with
+    // maxBucket=10 all 4 chunk buckets drop, and the accounting must ride
+    // the main query (no extra action) and be readable afterwards
+    val docs = ((0 until 40).map(i => (i.toLong, docA)) ++
+      Seq((100L, docC))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxBucket = 10)
+    assert(pairs.count() == 0) // all candidate buckets were degenerate
+    val stats = Dedup.droppedBuckets("simhash")
+    assert(stats.nonEmpty, "bucket metrics did not ride the query")
+    assert(stats.get._1 >= 4L, s"expected >=4 dropped buckets: $stats")
+    assert(stats.get._2 == 40L, s"largest dropped should be 40: $stats")
+  }
+
   test("ngram jaccard") {
     assert(TextKit.jaccard(TextKit.charNgramHashes(docA, 3),
       TextKit.charNgramHashes(docB, 3)) > 0.8)

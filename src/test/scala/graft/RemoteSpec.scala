@@ -56,6 +56,10 @@ class RemoteSpec extends AnyFunSuite {
 
   test("S12 RSS entries arrive through the wire, dates coerced") {
     val ru = new RemoteUrl("https://site-0.test/feed", newServer())
+    // entries read only PRE-FETCHED properties — never a lazy remote call
+    // (remoteurl.py:206-225 reads self.all_properties directly; ADVICE r3)
+    assert(ru.entries.isEmpty, "entries must not trigger a remote fetch")
+    ru.allProperties // the get_responses()-style explicit fetch
     assert(ru.entries.nonEmpty)
     ru.entries.foreach { e =>
       assert(e.get("link").exists(_.isInstanceOf[JString]))

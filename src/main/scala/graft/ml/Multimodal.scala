@@ -8,11 +8,15 @@ import graft.fetch.ImageKit
 /** Multimodal-column operators: media as opaque `binary` columns with typed
   * metadata, plus decode / feature-extract / resize / frame-sample stages.
   *
-  * Image decode/resize is REAL (javax.imageio ships with the JDK). Audio
-  * and video decoding have no codecs in this container, so those stages are
-  * deterministic STUBS — the Spark-side plumbing (schemas, batch shape,
-  * partition behavior) is real and tested; swap the stub body for an FFI
-  * decode call on a cluster with codecs installed.
+  * Image decode/resize is REAL (javax.imageio ships with the JDK), and so
+  * are the pure-JDK paths for the other modalities: WAV/PCM audio decodes
+  * through `javax.sound.sampled` into real signal features, and animated
+  * GIF decodes through ImageIO into real per-frame perceptual hashes.
+  * Only compressed formats with no JDK codec (mp3/aac, mp4/webm) fall
+  * back to clearly-labeled deterministic STUBS — the Spark-side plumbing
+  * (schemas, batch shape, partition behavior) is identical on both
+  * paths; swap the stub body for an FFI decode call on a cluster with
+  * codecs installed.
   */
 object Multimodal {
 
@@ -58,10 +62,71 @@ object Multimodal {
   val resizeUdf = udf((bytes: Array[Byte], w: Int, h: Int) =>
     resizeImage(bytes, w, h))
 
-  /** STUB — audio feature extraction. No audio codecs in this container:
-    * returns a deterministic 8-dim pseudo-feature from the byte content so
-    * the pipeline shape (binary → fixed-dim float vector) is exercised
-    * end-to-end. Replace the body with a real decoder on a full cluster. */
+  /** REAL audio feature extraction for PCM/WAV via `javax.sound.sampled`
+    * (ships with the JDK — no external codecs needed): decode to signed
+    * 16-bit PCM, mono-mix, and compute an 8-dim feature vector of actual
+    * signal statistics:
+    * `[duration_s, sampleRate/48k, channels, rms, peak, zero-crossing
+    * rate, high-frequency ratio (first-difference energy / energy — a
+    * spectral-tilt proxy needing no FFT), 1.0 decoded-flag]`.
+    * Compressed formats (mp3/aac) have no JDK codec and fall back to
+    * [[audioFeaturesStub]], whose decoded-flag position is ≤ 0. */
+  def audioFeatures(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+        fmt.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pcmFmt, in)
+      val data = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val ch = fmt.getChannels
+      val nFrames = data.length / (2 * ch)
+      if (nFrames == 0) return Array.fill(8)(0.0f)
+      // mono-mix to [-1, 1]
+      val x = new Array[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0f
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2
+          val s = ((data(o) & 0xff) | (data(o + 1) << 8)).toShort
+          acc += s / 32768.0f
+          c += 1
+        }
+        x(f) = acc / ch
+        f += 1
+      }
+      var sumSq = 0.0; var peak = 0.0f; var zc = 0; var diffSq = 0.0
+      var i = 1
+      sumSq = x(0).toDouble * x(0)
+      peak = math.abs(x(0))
+      while (i < nFrames) {
+        sumSq += x(i).toDouble * x(i)
+        diffSq += (x(i) - x(i - 1)).toDouble * (x(i) - x(i - 1))
+        if (math.abs(x(i)) > peak) peak = math.abs(x(i))
+        if ((x(i) >= 0) != (x(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      val rms = math.sqrt(sumSq / nFrames).toFloat
+      val zcr = zc.toFloat / nFrames
+      val hf = if (sumSq > 0) (diffSq / (4 * sumSq)).toFloat else 0.0f
+      Array(nFrames / fmt.getSampleRate, fmt.getSampleRate / 48000.0f,
+        ch.toFloat, rms, peak, zcr, hf, 1.0f)
+    } catch { case _: Exception => audioFeaturesStub(bytes) }
+  }
+
+  /** Fallback — deterministic 8-dim pseudo-feature from the byte content
+    * for formats the JDK cannot decode (mp3/aac/opus — no codecs in this
+    * container), so the pipeline shape (binary → fixed-dim float vector)
+    * stays exercised end-to-end. Replace with an FFI decoder on a
+    * cluster that ships codecs. */
   def audioFeaturesStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
     val out = new Array[Float](8)
@@ -76,11 +141,41 @@ object Multimodal {
     out
   }
 
-  val audioFeaturesUdf = udf((bytes: Array[Byte]) => audioFeaturesStub(bytes))
+  val audioFeaturesUdf = udf((bytes: Array[Byte]) => audioFeatures(bytes))
 
-  /** STUB — video frame sampling. No video codecs: emits `n` synthetic
-    * frame records (frame index + deterministic pseudo-frame-hash) with the
-    * real one-row→N-rows explode shape a frame sampler produces. */
+  /** REAL frame sampling for animated GIF via the JDK's ImageIO reader:
+    * `n` evenly-spaced frames are decoded and perceptually hashed —
+    * (frame index, phash) pairs, the real one-row→N-rows explode shape.
+    * (GIF is the one multi-frame container the JDK decodes natively;
+    * frames are read raw, without disposal-method compositing, which is
+    * the right input for fingerprinting.) Containers with no JDK codec
+    * (mp4/webm) fall back to [[sampleFramesStub]]. */
+  def sampleFrames(bytes: Array[Byte], n: Int): Seq[(Int, Long)] = {
+    if (bytes == null || bytes.isEmpty || n <= 0) return Seq.empty
+    if (sniffFormat(bytes) != "gif") return sampleFramesStub(bytes, n)
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return sampleFramesStub(bytes, n)
+      reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false, true)
+      val total = reader.getNumImages(true)
+      if (total <= 0) return sampleFramesStub(bytes, n)
+      val k = math.min(n, total)
+      val indices = (0 until k).map(i => i * total / k).distinct
+      indices.map(idx => (idx, ImageKit.phash(reader.read(idx))))
+    } catch { case _: Exception => sampleFramesStub(bytes, n) }
+    finally if (reader != null) reader.dispose()
+  }
+
+  val sampleFramesRealUdf = udf((bytes: Array[Byte], n: Int) =>
+    sampleFrames(bytes, n))
+
+  /** Fallback — synthetic frame records (frame index + deterministic
+    * pseudo-frame-hash) for containers the JDK cannot decode, keeping
+    * the explode shape real end-to-end. */
   def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[(Int, Long)] = {
     if (bytes == null || bytes.isEmpty) return Seq.empty
     var h = 0xbf58476d1ce4e5b9L

@@ -307,6 +307,29 @@ class MlSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("q19 IVF recall vs DuckDB-verified brute ranks at sf0.01") {
+    // de-circularizes the q19 golden pin (r3 VERDICT #5): the brute-force
+    // ranks are independently DuckDB-mirrored (q18), so anchoring IVF
+    // recall to them — same corpus, same queries, same parameters as the
+    // q19 entry — grounds the pin in an independent derivation
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairsOf(Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    val ivf = pairsOf(Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4))
+    assert(brute.size == 40)
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(f"IVF recall@5 vs brute: $recall%.3f")
+    // self-matches alone give 8/40 = 0.2; probing 4/16 cells of this
+    // unclustered corpus must still recover well beyond that floor
+    // (measured: 0.500, fully deterministic — floor set with margin)
+    assert(recall >= 0.45, f"IVF recall $recall%.3f below floor")
+  }
+
   test("multimodal: image meta + resize real, audio/video stubs shaped") {
     val row = ImageKit.imageRow(42L, 7)
     val meta = Multimodal.imageMeta(row.bytes).get
@@ -321,6 +344,62 @@ class MlSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFramesStub(row.bytes, 4)
     assert(frames.map(_._1) == Seq(0, 1, 2, 3))
     assert(Multimodal.imageMeta("not an image".getBytes).isEmpty)
+  }
+
+  test("real WAV audio decode: signal features match the synthesized sine") {
+    // synthesize 0.5 s of a 440 Hz sine at 8 kHz mono, amplitude 0.5,
+    // through the JDK's own WAV writer — then the feature extractor must
+    // recover the real signal statistics, not a byte-hash pseudo-vector
+    val rate = 8000f
+    val n = 4000
+    val raw = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 0.5 * 32767).toShort
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val f = Multimodal.audioFeatures(baos.toByteArray)
+    assert(f(7) == 1.0f, "decoded flag must be set on the real path")
+    assert(math.abs(f(0) - 0.5f) < 0.01, s"duration ${f(0)}")
+    assert(f(2) == 1.0f, "channels")
+    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(3)}")
+    assert(math.abs(f(4) - 0.5) < 0.01, s"peak ${f(4)}")
+    assert(math.abs(f(5) - 2 * 440 / rate) < 0.01, s"zcr ${f(5)}")
+    // non-audio bytes take the labeled stub path: flag stays unset
+    assert(Multimodal.audioFeatures("not audio".getBytes)(7) != 1.0f)
+  }
+
+  test("real GIF frame sampling: decoded frames match source phashes") {
+    val frames = (0 until 3).map(i =>
+      ImageKit.renderPixels(ImageKit.mix(42L, s"frame$i"), 64, 64))
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(img => writer.writeToSequence(
+      new javax.imageio.IIOImage(img, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    val gif = baos.toByteArray
+    assert(Multimodal.sniffFormat(gif) == "gif")
+    val sampled = Multimodal.sampleFrames(gif, 3)
+    assert(sampled.map(_._1) == Seq(0, 1, 2))
+    // GIF 256-color quantization may perturb a few phash bits; the
+    // perceptual hash of each decoded frame must stay close to its source
+    sampled.zip(frames).foreach { case ((idx, ph), src) =>
+      val d = ImageKit.hamming(ph, ImageKit.phash(src))
+      assert(d <= 6, s"frame $idx phash drifted $d bits")
+    }
+    // sampling 2 of 3 picks evenly spaced distinct indices
+    assert(Multimodal.sampleFrames(gif, 2).map(_._1) == Seq(0, 1))
   }
 
   test("psnr invariant holds for jpeg roundtrip at q=0.9") {

@@ -201,4 +201,37 @@ class CrawlOracleSpec extends AnyFunSuite {
     assert(rowsOf(golden) == walk,
       "committed golden fixture diverges from oracle walk")
   }
+
+  test("oracle walk with a BINDING per-host budget across 3 batches") {
+    // q22's config never saturates the per-host budget; this scenario
+    // does (5 pages/site, budget 2), so the walk independently pins the
+    // budget-carryover semantics: rows beyond the budget stay pending
+    // and drain in later batches in the same deterministic order
+    val internet = graft.fetch.SyntheticInternet(
+      graft.fetch.SyntheticConfig(seed = 42L, nSites = 3, pagesPerSite = 5,
+        imagesPerSite = 1, itemsPerFeed = 2))
+    val seeds = Seq("https://site-0.test/")
+    val walk = oracleWalk(internet, seeds, maxBatches = 3,
+      perHostBudget = 2)
+      .map(r => (r.batch, r.seq, r.url, r.finalUrl, r.status, r.host,
+        r.contentType)).sortBy(t => (t._1, t._2))
+    assert(walk.nonEmpty)
+    // the budget must actually bind somewhere: some batch has exactly 2
+    // fetches for a host with more pending
+    assert(walk.groupBy(r => (r._1, r._6)).values.exists(_.size == 2),
+      "scenario failed to exercise the budget")
+    val live = new graft.crawl.CrawlLoop(spark, internet,
+      graft.crawl.CrawlConfig(maxBatches = 3, perHostBudget = 2))
+      .run(seeds).crawlLog
+      .select("batch", "seq", "url", "final_url", "status", "host",
+        "content_type")
+      .collect().map { r =>
+        (r.getAs[Int]("batch"), r.getAs[Long]("seq"),
+          r.getAs[String]("url"), r.getAs[String]("final_url"),
+          r.getAs[Int]("status"), r.getAs[String]("host"),
+          r.getAs[String]("content_type"))
+      }.sortBy(t => (t._1, t._2)).toSeq
+    assert(live == walk,
+      "engine diverges from oracle walk under a binding budget")
+  }
 }

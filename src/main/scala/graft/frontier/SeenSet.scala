@@ -74,6 +74,11 @@ object SeenSet {
       c
     }
     override def reset(): Unit = filter = null
+    /** Task serialization calls copyAndReset on the DRIVER-side instance;
+      * the default copy()+reset() would deep-copy the accumulated filter
+      * (MBs) just to discard it — ship a fresh empty accumulator instead. */
+    override def copyAndReset(): BloomAccumulator =
+      new BloomAccumulator(expected, fpp)
     private def ensure(): Unit =
       if (filter == null) filter = newBloom(expected, fpp)
     override def add(h: Long): Unit = { ensure(); filter.putLong(h) }
@@ -140,6 +145,9 @@ object SeenSet {
       c
     }
     override def reset(): Unit = filters = null
+    /** See [[BloomAccumulator.copyAndReset]] — avoid the deep-copy. */
+    override def copyAndReset(): PartitionedBloomAccumulator =
+      new PartitionedBloomAccumulator(ranges, expectedTotal, fpp)
     override def add(h: Long): Unit = {
       ensure()
       val r = rangeOf(h)

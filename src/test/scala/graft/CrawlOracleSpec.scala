@@ -234,4 +234,38 @@ class CrawlOracleSpec extends AnyFunSuite {
     assert(live == walk,
       "engine diverges from oracle walk under a binding budget")
   }
+
+  test("oracle walk pins retry/not-before and failure transitions") {
+    // a 429 host must be re-fetched once per batch until tries hits
+    // maxTries (3): visible in batches 0, 1 and 2; a 404 and an
+    // exception (600) are terminal after one fetch
+    val internet = graft.fetch.SyntheticInternet(
+      graft.fetch.SyntheticConfig(seed = 42L, nSites = 1, pagesPerSite = 2,
+        imagesPerSite = 1, itemsPerFeed = 2))
+    val seeds = Seq("https://status-429.test/", "https://status-404.test/",
+      "https://crash.test/", "https://site-0.test/")
+    def key(t: (Int, Long, String, String, Int, String, String)) =
+      (t._1, t._2)
+    val walk = oracleWalk(internet, seeds, maxBatches = 3)
+      .map(r => (r.batch, r.seq, r.url, r.finalUrl, r.status, r.host,
+        r.contentType)).sortBy(key)
+    val retries = walk.filter(_._3 == "https://status-429.test")
+    assert(retries.map(_._1) == Seq(0, 1, 2), s"retry batches: $retries")
+    assert(retries.forall(_._5 == 429))
+    assert(walk.count(_._3 == "https://status-404.test") == 1)
+    val crash = walk.filter(_._6 == "crash.test")
+    assert(crash.size == 1 && crash.head._5 == 600)
+    val live = new graft.crawl.CrawlLoop(spark, internet,
+      graft.crawl.CrawlConfig(maxBatches = 3)).run(seeds).crawlLog
+      .select("batch", "seq", "url", "final_url", "status", "host",
+        "content_type")
+      .collect().map { r =>
+        (r.getAs[Int]("batch"), r.getAs[Long]("seq"),
+          r.getAs[String]("url"), r.getAs[String]("final_url"),
+          r.getAs[Int]("status"), r.getAs[String]("host"),
+          r.getAs[String]("content_type"))
+      }.sortBy(key).toSeq
+    assert(live == walk,
+      "engine diverges from oracle walk on retry/failure transitions")
+  }
 }

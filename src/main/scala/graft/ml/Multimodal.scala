@@ -196,4 +196,22 @@ object Multimodal {
       .withColumn("decoded_fmt", col("meta.fmt"))
       .withColumn("decoded_phash", col("meta.phash"))
       .drop("meta")
+
+  /** Audio-corpus pipeline: binary column in → fixed 8-dim feature vector
+    * (real signal statistics for WAV, labeled pseudo-features otherwise;
+    * element 7 is the decoded flag). Map-only — one pass, no shuffle. */
+  def describeAudio(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("audio_features", audioFeaturesUdf(col(bytesCol)))
+      .withColumn("audio_decoded",
+        element_at(col("audio_features"), 8) === 1.0f)
+
+  /** Frame-sampling pipeline: one media row → N (frame_index, frame_phash)
+    * rows — the explode shape a training-data video stage feeds into image
+    * dedup/similarity. Real decode for animated GIF, stub otherwise. */
+  def explodeFrames(df: DataFrame, bytesCol: String, n: Int): DataFrame =
+    df.withColumn("frame",
+        explode(sampleFramesRealUdf(col(bytesCol), lit(n))))
+      .withColumn("frame_index", col("frame._1"))
+      .withColumn("frame_phash", col("frame._2"))
+      .drop("frame")
 }

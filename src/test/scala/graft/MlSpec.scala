@@ -346,10 +346,9 @@ class MlSpec extends AnyFunSuite {
     assert(Multimodal.imageMeta("not an image".getBytes).isEmpty)
   }
 
-  test("real WAV audio decode: signal features match the synthesized sine") {
-    // synthesize 0.5 s of a 440 Hz sine at 8 kHz mono, amplitude 0.5,
-    // through the JDK's own WAV writer — then the feature extractor must
-    // recover the real signal statistics, not a byte-hash pseudo-vector
+  /** 0.5 s of a 440 Hz sine at 8 kHz mono, amplitude 0.5, through the
+    * JDK's own WAV writer. */
+  private def synthWav(): Array[Byte] = {
     val rate = 8000f
     val n = 4000
     val raw = new Array[Byte](n * 2)
@@ -364,18 +363,11 @@ class MlSpec extends AnyFunSuite {
       new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(raw), fmt, n),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    val f = Multimodal.audioFeatures(baos.toByteArray)
-    assert(f(7) == 1.0f, "decoded flag must be set on the real path")
-    assert(math.abs(f(0) - 0.5f) < 0.01, s"duration ${f(0)}")
-    assert(f(2) == 1.0f, "channels")
-    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(3)}")
-    assert(math.abs(f(4) - 0.5) < 0.01, s"peak ${f(4)}")
-    assert(math.abs(f(5) - 2 * 440 / rate) < 0.01, s"zcr ${f(5)}")
-    // non-audio bytes take the labeled stub path: flag stays unset
-    assert(Multimodal.audioFeatures("not audio".getBytes)(7) != 1.0f)
+    baos.toByteArray
   }
 
-  test("real GIF frame sampling: decoded frames match source phashes") {
+  /** 3-frame animated GIF of deterministic pixel frames. */
+  private def synthGif(): (Array[Byte], Seq[java.awt.image.BufferedImage]) = {
     val frames = (0 until 3).map(i =>
       ImageKit.renderPixels(ImageKit.mix(42L, s"frame$i"), 64, 64))
     val baos = new java.io.ByteArrayOutputStream()
@@ -388,7 +380,26 @@ class MlSpec extends AnyFunSuite {
       new javax.imageio.IIOImage(img, null, null), null))
     writer.endWriteSequence()
     writer.dispose(); ios.close()
-    val gif = baos.toByteArray
+    (baos.toByteArray, frames)
+  }
+
+  test("real WAV audio decode: signal features match the synthesized sine") {
+    // the feature extractor must recover the real signal statistics of
+    // the synthesized sine, not a byte-hash pseudo-vector
+    val rate = 8000f
+    val f = Multimodal.audioFeatures(synthWav())
+    assert(f(7) == 1.0f, "decoded flag must be set on the real path")
+    assert(math.abs(f(0) - 0.5f) < 0.01, s"duration ${f(0)}")
+    assert(f(2) == 1.0f, "channels")
+    assert(math.abs(f(3) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(3)}")
+    assert(math.abs(f(4) - 0.5) < 0.01, s"peak ${f(4)}")
+    assert(math.abs(f(5) - 2 * 440 / rate) < 0.01, s"zcr ${f(5)}")
+    // non-audio bytes take the labeled stub path: flag stays unset
+    assert(Multimodal.audioFeatures("not audio".getBytes)(7) != 1.0f)
+  }
+
+  test("real GIF frame sampling: decoded frames match source phashes") {
+    val (gif, frames) = synthGif()
     assert(Multimodal.sniffFormat(gif) == "gif")
     val sampled = Multimodal.sampleFrames(gif, 3)
     assert(sampled.map(_._1) == Seq(0, 1, 2))
@@ -400,6 +411,24 @@ class MlSpec extends AnyFunSuite {
     }
     // sampling 2 of 3 picks evenly spaced distinct indices
     assert(Multimodal.sampleFrames(gif, 2).map(_._1) == Seq(0, 1))
+  }
+
+  test("multimodal DataFrame pipelines: describeAudio + explodeFrames") {
+    import spark.implicits._
+    val png = ImageKit.encode(
+      ImageKit.renderPixels(ImageKit.mix(42L, "still"), 32, 32), "png")
+    val (gif, _) = synthGif()
+    val df = Seq((1L, synthWav()), (2L, gif), (3L, png))
+      .toDF("media_id", "bytes")
+    val audio = Multimodal.describeAudio(df, "bytes").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Boolean]("audio_decoded"))
+      .toMap
+    assert(audio(1L) && !audio(2L) && !audio(3L))
+    val frames = Multimodal
+      .explodeFrames(df.filter($"media_id" === 2L), "bytes", 3)
+      .select("media_id", "frame_index", "frame_phash").collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getAs[Int]("frame_index")).sorted.toSeq == Seq(0, 1, 2))
   }
 
   test("psnr invariant holds for jpeg roundtrip at q=0.9") {

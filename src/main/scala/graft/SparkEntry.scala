@@ -254,6 +254,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
+    "q27_dedup_clusters_star" -> ((s, dir) => {
+      // same cluster assignment through the GENERAL-GRAPH algorithm
+      // (large-star/small-star contraction) — components are
+      // algorithm-independent, so the same recursive-CTE DuckDB mirror
+      // verifies this path too
+      val docs = withPlantedDups(
+        ld(s, dir, "documents").filter(col("doc_id") % 2 === 0), s)
+      val edges = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.connectedComponentsStar(
+        docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
     "q26_repetition" -> ((s, dir) => {
       // repetition-based quality signals (Gopher-style), pure built-ins —
       // stays inside whole-stage codegen, no UDF
@@ -315,6 +329,41 @@ object SparkEntry {
   private lazy val fixturesDir: String =
     sys.env.getOrElse("GRAFT_FIXTURES_DIR",
       new java.io.File("fixtures/golden").getAbsolutePath)
+
+  /** Shared by q25 (neighbor-min) and q27 (large-star/small-star): the
+    * component assignment is algorithm-independent, so one recursive-CTE
+    * DuckDB derivation independently verifies both implementations. */
+  private val dedupClustersOracleSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |docs AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS doc_id, text || ' appended' AS text
+      |  FROM (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 3)),
+      |grams AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(lower(text), i::INT, 3))) AS g
+      |  FROM docs),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b,
+      |    CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+      |         WHEN len(ga) = 0 OR len(gb) = 0 THEN 0.0
+      |         ELSE len(list_intersect(ga, gb))::DOUBLE /
+      |              (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS jac
+      |  FROM pairs) WHERE jac >= 0.6),
+      |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+      |walk AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM docs
+      |  UNION
+      |  SELECT u.dst AS id, w.comp AS comp
+      |  FROM walk w JOIN und u ON u.src = w.id
+      |  WHERE w.comp < u.dst)
+      |SELECT id AS doc_id, min(comp) AS component FROM walk
+      |GROUP BY id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -473,37 +522,10 @@ object SparkEntry {
         |    * (CASE WHEN upperratio > 0.4 THEN 0.3 ELSE 1.0 END))
         |    * (CASE WHEN stopratio < 0.05 THEN 0.6 ELSE 1.0 END)) AS quality_score
         |FROM m""".stripMargin,
-    "q25_dedup_clusters" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-        |docs AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000 AS doc_id, text || ' appended' AS text
-        |  FROM (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 3)),
-        |grams AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
-        |    i -> substr(lower(text), i::INT, 3))) AS g
-        |  FROM docs),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb
-        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
-        |edges AS (SELECT id_a, id_b FROM (
-        |  SELECT id_a, id_b,
-        |    CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
-        |         WHEN len(ga) = 0 OR len(gb) = 0 THEN 0.0
-        |         ELSE len(list_intersect(ga, gb))::DOUBLE /
-        |              (len(ga) + len(gb) - len(list_intersect(ga, gb))) END AS jac
-        |  FROM pairs) WHERE jac >= 0.6),
-        |und AS (SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
-        |walk AS (
-        |  SELECT doc_id AS id, doc_id AS comp FROM docs
-        |  UNION
-        |  SELECT u.dst AS id, w.comp AS comp
-        |  FROM walk w JOIN und u ON u.src = w.id
-        |  WHERE w.comp < u.dst)
-        |SELECT id AS doc_id, min(comp) AS component FROM walk
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q25_dedup_clusters" -> dedupClustersOracleSql,
+    // the star variant computes the SAME components (algorithm-
+    // independent contract) — one independent mirror verifies both paths
+    "q27_dedup_clusters_star" -> dedupClustersOracleSql,
     "q26_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text, ' '), x -> x != '') AS w

@@ -174,7 +174,20 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     (fetched, obs.get("n").asInstanceOf[Long])
   }
 
-  def run(seeds: Seq[String]): CrawlResult = {
+  def run(seeds: Seq[String]): CrawlResult = runInternal(Some(seeds))
+
+  /** Exact resume (north rule): continue a durable crawl from the
+    * store's latest committed snapshot — the frontier (pending + done
+    * rows with their tries/not_before), the seen set, and the crawl log
+    * load back; the Bloom accelerator repopulates from the seen table
+    * inside the one checkpoint job that loads it; batch numbering (and
+    * therefore batch time, dequeue order and crawl_seq) continues from
+    * the snapshot id. `config.maxBatches` counts the ADDITIONAL batches.
+    * Determinism makes the resumed run byte-identical to an
+    * uninterrupted one (CrawlSpec proves log/seen/frontier equality). */
+  def resume(): CrawlResult = runInternal(None)
+
+  private def runInternal(seedsOpt: Option[Seq[String]]): CrawlResult = {
     // ---- delta state ---------------------------------------------------
     // pending = union(pendingParts) minus dequeued (url_hash, ver) keys
     // minus redirect-target urls; checkpointed parts only where a frame is
@@ -248,10 +261,36 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       }
     }
 
-    val seeded = tapped(seedFrontier(seeds)).localCheckpoint(true)
-    pendingParts += seeded
-    seenParts += seeded.select("url", "url_hash")
-    noteInserted(seeds.size.toLong)
+    val startBatch = seedsOpt match {
+      case Some(seeds) =>
+        val seeded = tapped(seedFrontier(seeds)).localCheckpoint(true)
+        pendingParts += seeded
+        seenParts += seeded.select("url", "url_hash")
+        noteInserted(seeds.size.toLong)
+        0
+      case None =>
+        // resume: rebuild the three state views from the latest snapshot;
+        // the seen load doubles as the Bloom-repopulation pass (every
+        // url_hash flows through the accumulator tap in ONE checkpoint
+        // job — without it an empty filter would declare seen URLs
+        // "definitely new" and corrupt the dedup)
+        val st = store.getOrElse(throw new IllegalStateException(
+          "resume() requires a SnapshotStore"))
+        val snap = st.latestSnapshot("frontier").getOrElse(
+          throw new IllegalStateException("no committed snapshot to resume"))
+        val fr = st.read(spark, "frontier", Some(snap)).get
+        pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
+        doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
+        val obs = org.apache.spark.sql.Observation()
+        val seenLoaded = tapped(
+          st.read(spark, "seen", Some(snap)).get.select("url", "url_hash"))
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        seenParts += seenLoaded
+        noteInserted(obs.get("n").asInstanceOf[Long])
+        st.read(spark, "crawl_log", Some(snap)).foreach(logParts += _)
+        snap.toInt + 1
+    }
 
     // ---- domain-rules cache (reference DomainCache LRU, fully distributed)
     // robots_txt rows live distributed in checkpointed `rulesParts`, keyed
@@ -265,7 +304,7 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     var rulesCount = 0L
     def rulesView: DataFrame = unionAll(rulesParts.toSeq)
 
-    for (batch <- 0 until config.maxBatches) {
+    for (batch <- startBatch until startBatch + config.maxBatches) {
       val bt = batchTime(batch)
       // ---- dequeue: ONE action materializes the batch AND the pending
       //      transitions of previous batches still in the lazy view; the

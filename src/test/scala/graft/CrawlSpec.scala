@@ -108,6 +108,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(store.manifest("frontier", 1).exists(_.contains("\"lineage\"")))
   }
 
+  test("resume() continues exactly: interrupted + resumed == uninterrupted") {
+    // the north rule's exact-resume: 2 durable batches, process "dies",
+    // a NEW loop resumes 2 more — the combined crawl log, seen set and
+    // pending frontier must equal a 4-batch run that never stopped
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val store = new SnapshotStore(dir)
+    newLoop(CrawlConfig(maxBatches = 2), Some(store))
+      .run(Seq("https://site-0.test/"))
+    val resumed = newLoop(CrawlConfig(maxBatches = 2), Some(store)).resume()
+    val fresh = newLoop(CrawlConfig(maxBatches = 4))
+      .run(Seq("https://site-0.test/"))
+    def logRows(r: graft.crawl.CrawlResult) = r.crawlLog
+      .select("batch", "seq", "url", "final_url", "status", "host",
+        "content_type")
+      .collect().map(_.toString).sorted.toSeq
+    assert(logRows(resumed) == logRows(fresh),
+      "resumed crawl log diverges from the uninterrupted run")
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).sorted
+      .toSeq ==
+      fresh.seen.select("url").collect().map(_.getString(0)).sorted.toSeq)
+    import org.apache.spark.sql.functions.col
+    assert(resumed.frontier.filter(col("state") === "pending").count() ==
+      fresh.frontier.filter(col("state") === "pending").count())
+    // and the resumed run kept committing: snapshots 0..3 exist
+    assert(store.latestSnapshot("frontier").contains(3L))
+    assert(store.verify("crawl_log", 3).isEmpty)
+  }
+
   test("per-host budget limits fetches per batch") {
     val result = newLoop(CrawlConfig(maxBatches = 2, perHostBudget = 2))
       .run(Seq("https://site-0.test/"))

@@ -96,6 +96,15 @@ final case class CrawlConfig(
     /** compact the pending-frontier delta parts every K batches; between
       * compactions the per-batch state write is O(batch), not O(frontier). */
     compactEvery: Int = 4,
+    /** durable-commit granularity. false = full frontier/seen/crawl_log
+      * snapshot per batch (simple time travel; O(state) write per batch).
+      * true = the 10^10-frontier shape: each batch durably commits ONLY
+      * its delta parts (pending rows, done rows, dequeued-key and
+      * redirect tombstones, seen increment, log rows — O(batch) bytes),
+      * and the full tables are written only every `compactEvery` batches
+      * as a base snapshot; resume() reconstructs base + deltas with the
+      * same tombstone semantics the in-memory views use. */
+    durableDeltas: Boolean = false,
     /** the global contiguous crawl-sequence column is the crawl-order
       * parity artifact (range-partitioned sort + zipWithIndex). At
       * production scale turn it off: ordering stays deterministic via
@@ -269,27 +278,67 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         noteInserted(seeds.size.toLong)
         0
       case None =>
-        // resume: rebuild the three state views from the latest snapshot;
-        // the seen load doubles as the Bloom-repopulation pass (every
+        // resume: rebuild the state views from the latest snapshot; the
+        // seen load doubles as the Bloom-repopulation pass (every
         // url_hash flows through the accumulator tap in ONE checkpoint
         // job — without it an empty filter would declare seen URLs
         // "definitely new" and corrupt the dedup)
         val st = store.getOrElse(throw new IllegalStateException(
           "resume() requires a SnapshotStore"))
-        val snap = st.latestSnapshot("frontier").getOrElse(
-          throw new IllegalStateException("no committed snapshot to resume"))
-        val fr = st.read(spark, "frontier", Some(snap)).get
-        pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
-        doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
-        val obs = org.apache.spark.sql.Observation()
-        val seenLoaded = tapped(
-          st.read(spark, "seen", Some(snap)).get.select("url", "url_hash"))
-          .observe(obs, count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        seenParts += seenLoaded
-        noteInserted(obs.get("n").asInstanceOf[Long])
-        st.read(spark, "crawl_log", Some(snap)).foreach(logParts += _)
-        snap.toInt + 1
+        def loadSeen(frames: Seq[DataFrame]): Unit = {
+          val obs = org.apache.spark.sql.Observation()
+          val seenLoaded = tapped(frames.map(_.select("url", "url_hash"))
+            .reduce(_ unionByName _))
+            .observe(obs, count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          seenParts += seenLoaded
+          noteInserted(obs.get("n").asInstanceOf[Long])
+        }
+        if (!config.durableDeltas) {
+          val snap = st.latestSnapshot("frontier").getOrElse(
+            throw new IllegalStateException("no committed snapshot to resume"))
+          val fr = st.read(spark, "frontier", Some(snap)).get
+          pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
+          doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
+          loadSeen(Seq(st.read(spark, "seen", Some(snap)).get))
+          st.read(spark, "crawl_log", Some(snap)).foreach(logParts += _)
+          snap.toInt + 1
+        } else {
+          // delta mode: latest full base (if any compaction ran) + every
+          // delta snapshot after it, loaded into the SAME parts arrays
+          // the in-memory views are built from — tombstone semantics are
+          // therefore identical to an uninterrupted run
+          val baseSnap = st.snapshots("frontier").lastOption
+          def after(sn: Long) = baseSnap.forall(_ < sn)
+          def loadDeltas(table: String,
+              into: mutable.ArrayBuffer[DataFrame]): Seq[Long] = {
+            val snaps = st.snapshots(table).filter(after)
+            snaps.foreach(sn => into += st.read(spark, table, Some(sn)).get)
+            snaps
+          }
+          baseSnap.foreach { b =>
+            val fr = st.read(spark, "frontier", Some(b)).get
+            pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
+            doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
+            st.read(spark, "crawl_log", Some(b)).foreach(logParts += _)
+          }
+          val loaded = Seq(
+            loadDeltas("frontier_pending_delta", pendingParts),
+            loadDeltas("frontier_done_delta", doneParts),
+            loadDeltas("frontier_dequeued_keys", dequeuedKeyParts),
+            loadDeltas("frontier_redirect_tombstones",
+              redirectTombstoneParts),
+            loadDeltas("crawl_log_delta", logParts)).flatten
+          val seenFrames =
+            baseSnap.map(b => st.read(spark, "seen", Some(b)).get).toSeq ++
+              st.snapshots("seen_delta").filter(after)
+                .map(sn => st.read(spark, "seen_delta", Some(sn)).get)
+          if (seenFrames.isEmpty || (loaded.isEmpty && baseSnap.isEmpty))
+            throw new IllegalStateException(
+              "no committed delta snapshots to resume")
+          loadSeen(seenFrames)
+          ((baseSnap.toSeq ++ loaded).max + 1).toInt
+        }
     }
 
     // ---- domain-rules cache (reference DomainCache LRU, fully distributed)
@@ -303,6 +352,19 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     val rulesParts = mutable.ArrayBuffer[DataFrame]()
     var rulesCount = 0L
     def rulesView: DataFrame = unionAll(rulesParts.toSeq)
+
+    // delta-durability bookkeeping: index of the first part in each array
+    // NOT yet durably committed (parts loaded by resume are durable)
+    var pendMark = pendingParts.length
+    var doneMark = doneParts.length
+    var dkMark = dequeuedKeyParts.length
+    var rtMark = redirectTombstoneParts.length
+    var seenMark = seenParts.length
+    var logMark = logParts.length
+    // in delta mode the seed wave is batch 0's delta, not pre-durable
+    if (config.durableDeltas && seedsOpt.nonEmpty) {
+      pendMark = 0; seenMark = 0
+    }
 
     for (batch <- startBatch until startBatch + config.maxBatches) {
       val bt = batchTime(batch)
@@ -530,6 +592,53 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         }
 
         store match {
+          case Some(s) if config.durableDeltas =>
+            // 10^10-frontier durable shape: this batch's delta parts —
+            // and ONLY them — are committed (O(batch) bytes per batch);
+            // the full tables are written as a base snapshot every
+            // compactEvery batches, which also compacts memory
+            val lineage = Map("batch" -> batch.toString,
+              "dequeued" -> n.toString, "mode" -> "delta")
+            def commitSlice(table: String, parts: Seq[DataFrame]): Unit =
+              if (parts.nonEmpty)
+                s.commit(table, batch, unionAll(parts), lineage)
+            timed(s"b$batch delta-commit") {
+              commitSlice("frontier_pending_delta",
+                pendingParts.drop(pendMark).toSeq)
+              commitSlice("frontier_done_delta",
+                doneParts.drop(doneMark).toSeq)
+              commitSlice("frontier_dequeued_keys",
+                dequeuedKeyParts.drop(dkMark).toSeq)
+              commitSlice("frontier_redirect_tombstones",
+                redirectTombstoneParts.drop(rtMark).toSeq)
+              commitSlice("seen_delta", seenParts.drop(seenMark).toSeq)
+              commitSlice("crawl_log_delta", logParts.drop(logMark).toSeq)
+            }
+            if ((batch + 1) % config.compactEvery == 0) {
+              timed(s"b$batch base-compact") {
+                s.commit("frontier", batch, frontierView, lineage)
+                s.commit("seen", batch, seenView, lineage)
+                s.commit("crawl_log", batch, unionAll(logParts.toSeq),
+                  lineage)
+                val fr = s.read(spark, "frontier", Some(batch)).get
+                pendingParts.clear()
+                pendingParts += fr.filter(
+                  col("state") === FrontierRow.StatePending)
+                doneParts.clear()
+                doneParts += fr.filter(
+                  col("state") =!= FrontierRow.StatePending)
+                dequeuedKeyParts.clear()
+                redirectTombstoneParts.clear()
+                seenParts.clear()
+                seenParts += s.read(spark, "seen", Some(batch)).get
+              }
+            }
+            pendMark = pendingParts.length
+            doneMark = doneParts.length
+            dkMark = dequeuedKeyParts.length
+            rtMark = redirectTombstoneParts.length
+            seenMark = seenParts.length
+            logMark = logParts.length
           case Some(s) =>
             // durable mode: full snapshot per batch (time travel + exact
             // resume); reading back also compacts the in-memory deltas

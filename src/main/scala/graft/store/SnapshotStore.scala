@@ -60,6 +60,25 @@ final class SnapshotStore(root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** All committed snapshot ids of `table`, ascending (a snapshot counts
+    * only once its manifest is fully written — torn writes are invisible,
+    * matching the reader contract of [[commit]]). */
+  def snapshots(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try {
+      val buf = scala.collection.mutable.ListBuffer[Long]()
+      stream.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap-") &&
+            Files.exists(p.resolve("manifest.json")))
+          n.substring(5).toLongOption.foreach(buf += _)
+      }
+      buf.toSeq.sorted
+    } finally stream.close()
+  }
+
   /** Latest committed snapshot id of `table`, if any. */
   def latestSnapshot(table: String): Option[Long] = {
     val p = tableDir(table).resolve("_latest.json")

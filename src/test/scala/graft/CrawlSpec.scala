@@ -136,6 +136,42 @@ class CrawlSpec extends AnyFunSuite {
     assert(store.verify("crawl_log", 3).isEmpty)
   }
 
+  test("durable DELTA commits are O(batch) and resume exactly") {
+    // the 10^10-frontier durable shape: each batch commits only its
+    // delta parts; full base snapshots appear only at compaction
+    // boundaries; resume reconstructs base + deltas with the in-memory
+    // tombstone semantics and must equal an uninterrupted run
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delta-resume").toString
+    val store = new SnapshotStore(dir)
+    def cfg = CrawlConfig(maxBatches = 2, durableDeltas = true,
+      compactEvery = 3)
+    newLoop(cfg, Some(store)).run(Seq("https://site-0.test/"))
+    // two batches committed as deltas; no base table yet (boundary is 3)
+    assert(store.snapshots("frontier").isEmpty)
+    assert(store.snapshots("crawl_log_delta") == Seq(0L, 1L))
+    // O(batch): the batch-1 log delta holds ONLY batch-1 rows
+    val d1 = store.read(spark, "crawl_log_delta", Some(1)).get
+    assert(d1.select("batch").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // resume two more batches — crossing the base-compaction boundary
+    val resumed = newLoop(cfg, Some(store)).resume()
+    assert(store.snapshots("frontier") == Seq(2L),
+      "base snapshot must appear exactly at the compaction boundary")
+    assert(store.snapshots("crawl_log_delta").contains(3L))
+    val fresh = newLoop(CrawlConfig(maxBatches = 4))
+      .run(Seq("https://site-0.test/"))
+    def logRows(r: graft.crawl.CrawlResult) = r.crawlLog
+      .select("batch", "seq", "url", "final_url", "status", "host",
+        "content_type")
+      .collect().map(_.toString).sorted.toSeq
+    assert(logRows(resumed) == logRows(fresh),
+      "delta-resumed crawl log diverges from the uninterrupted run")
+    assert(resumed.seen.select("url").collect().map(_.getString(0)).sorted
+      .toSeq ==
+      fresh.seen.select("url").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("per-host budget limits fetches per batch") {
     val result = newLoop(CrawlConfig(maxBatches = 2, perHostBudget = 2))
       .run(Seq("https://site-0.test/"))

@@ -123,7 +123,7 @@ object Multimodal {
   }
 
   /** Fallback — deterministic 8-dim pseudo-feature from the byte content
-    * for formats the JDK cannot decode (mp3/aac/opus — no codecs in this
+    * for formats the JDK cannot decode (mp3/aac/ogg — no codecs in this
     * container), so the pipeline shape (binary → fixed-dim float vector)
     * stays exercised end-to-end. Replace with an FFI decoder on a
     * cluster that ships codecs. */

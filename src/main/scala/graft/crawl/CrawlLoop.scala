@@ -186,14 +186,21 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
   def run(seeds: Seq[String]): CrawlResult = runInternal(Some(seeds))
 
   /** Exact resume (north rule): continue a durable crawl from the
-    * store's latest committed snapshot — the frontier (pending + done
-    * rows with their tries/not_before), the seen set, and the crawl log
-    * load back; the Bloom accelerator repopulates from the seen table
-    * inside the one checkpoint job that loads it; batch numbering (and
-    * therefore batch time, dequeue order and crawl_seq) continues from
-    * the snapshot id. `config.maxBatches` counts the ADDITIONAL batches.
-    * Determinism makes the resumed run byte-identical to an
-    * uninterrupted one (CrawlSpec proves log/seen/frontier equality). */
+    * store's last COMPLETE batch — anchored on the batch-commit marker
+    * written after all of a batch's tables, so a crash mid-commit is
+    * replayed, never half-loaded. The frontier (pending + done rows with
+    * their tries/not_before), the seen set, and the crawl log load back;
+    * the Bloom accelerator repopulates from the seen table inside the
+    * one checkpoint job that loads it; batch numbering (and therefore
+    * batch time, dequeue order and crawl_seq) continues from the marker.
+    * `config.maxBatches` counts the ADDITIONAL batches. Determinism
+    * makes the resumed crawl log, seen set and frontier identical to an
+    * uninterrupted run's (CrawlSpec proves it). Scope note: `pages`,
+    * `images` and `metrics` in the returned result cover only the
+    * post-resume batches — those frames are per-batch outputs, not
+    * durable state; export them per batch (or recompute from the
+    * committed crawl log) in a deployment that needs them across
+    * restarts. */
   def resume(): CrawlResult = runInternal(None)
 
   private def runInternal(seedsOpt: Option[Seq[String]]): CrawlResult = {
@@ -294,50 +301,56 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           seenParts += seenLoaded
           noteInserted(obs.get("n").asInstanceOf[Long])
         }
+        // both modes anchor on the batch-commit MARKER — the one tiny
+        // table written LAST in each batch's durable commit. A crash
+        // anywhere mid-commit leaves no marker for that batch, so resume
+        // anchors on the previous complete batch and deterministically
+        // replays the torn one (overwriting its partial snapshots);
+        // without this, a multi-table commit has no atomicity and a torn
+        // batch would resume into a state no uninterrupted run produces.
+        val marker = st.latestSnapshot("batch_commit").getOrElse(
+          throw new IllegalStateException(
+            "no committed batch marker to resume"))
         if (!config.durableDeltas) {
-          val snap = st.latestSnapshot("frontier").getOrElse(
-            throw new IllegalStateException("no committed snapshot to resume"))
-          val fr = st.read(spark, "frontier", Some(snap)).get
+          val fr = st.read(spark, "frontier", Some(marker)).get
           pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
           doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
-          loadSeen(Seq(st.read(spark, "seen", Some(snap)).get))
-          st.read(spark, "crawl_log", Some(snap)).foreach(logParts += _)
-          snap.toInt + 1
+          loadSeen(Seq(st.read(spark, "seen", Some(marker)).get))
+          st.read(spark, "crawl_log", Some(marker)).foreach(logParts += _)
+          marker.toInt + 1
         } else {
-          // delta mode: latest full base (if any compaction ran) + every
-          // delta snapshot after it, loaded into the SAME parts arrays
-          // the in-memory views are built from — tombstone semantics are
-          // therefore identical to an uninterrupted run
-          val baseSnap = st.snapshots("frontier").lastOption
-          def after(sn: Long) = baseSnap.forall(_ < sn)
+          // delta mode: latest full base at-or-before the marker (if any
+          // compaction ran) + every marker-covered delta snapshot after
+          // it, loaded into the SAME parts arrays the in-memory views
+          // are built from — tombstone semantics are therefore identical
+          // to an uninterrupted run
+          def committed(sn: Long) = sn <= marker
+          val baseSnap = st.snapshots("frontier").filter(committed).lastOption
+          def after(sn: Long) = baseSnap.forall(_ < sn) && committed(sn)
           def loadDeltas(table: String,
-              into: mutable.ArrayBuffer[DataFrame]): Seq[Long] = {
-            val snaps = st.snapshots(table).filter(after)
-            snaps.foreach(sn => into += st.read(spark, table, Some(sn)).get)
-            snaps
-          }
+              into: mutable.ArrayBuffer[DataFrame]): Unit =
+            st.snapshots(table).filter(after)
+              .foreach(sn => into += st.read(spark, table, Some(sn)).get)
           baseSnap.foreach { b =>
             val fr = st.read(spark, "frontier", Some(b)).get
             pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
             doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
             st.read(spark, "crawl_log", Some(b)).foreach(logParts += _)
           }
-          val loaded = Seq(
-            loadDeltas("frontier_pending_delta", pendingParts),
-            loadDeltas("frontier_done_delta", doneParts),
-            loadDeltas("frontier_dequeued_keys", dequeuedKeyParts),
-            loadDeltas("frontier_redirect_tombstones",
-              redirectTombstoneParts),
-            loadDeltas("crawl_log_delta", logParts)).flatten
+          loadDeltas("frontier_pending_delta", pendingParts)
+          loadDeltas("frontier_done_delta", doneParts)
+          loadDeltas("frontier_dequeued_keys", dequeuedKeyParts)
+          loadDeltas("frontier_redirect_tombstones", redirectTombstoneParts)
+          loadDeltas("crawl_log_delta", logParts)
           val seenFrames =
             baseSnap.map(b => st.read(spark, "seen", Some(b)).get).toSeq ++
               st.snapshots("seen_delta").filter(after)
                 .map(sn => st.read(spark, "seen_delta", Some(sn)).get)
-          if (seenFrames.isEmpty || (loaded.isEmpty && baseSnap.isEmpty))
+          if (seenFrames.isEmpty)
             throw new IllegalStateException(
               "no committed delta snapshots to resume")
           loadSeen(seenFrames)
-          ((baseSnap.toSeq ++ loaded).max + 1).toInt
+          (marker + 1).toInt
         }
     }
 
@@ -633,6 +646,10 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
                 seenParts += s.read(spark, "seen", Some(batch)).get
               }
             }
+            // the marker is written LAST: a batch is durable iff its
+            // marker exists (resume anchors on it — see runInternal)
+            s.commit("batch_commit", batch,
+              Seq((batch, n)).toDF("batch", "dequeued"), lineage)
             pendMark = pendingParts.length
             doneMark = doneParts.length
             dkMark = dequeuedKeyParts.length
@@ -647,6 +664,10 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             s.commit("frontier", batch, frontierView, lineage)
             s.commit("seen", batch, seenView, lineage)
             s.commit("crawl_log", batch, unionAll(logParts.toSeq), lineage)
+            // marker LAST — the batch is durable only once all three
+            // tables landed (resume anchors on it)
+            s.commit("batch_commit", batch,
+              Seq((batch, n)).toDF("batch", "dequeued"), lineage)
             val fr = s.read(spark, "frontier", Some(batch)).get
             pendingParts.clear()
             pendingParts += fr.filter(col("state") === FrontierRow.StatePending)

@@ -298,7 +298,12 @@ object Dedup {
       val row = small.agg(count(lit(1)),
         coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
       val newSig = (row.getLong(0), row.getLong(1))
-      converged = newSig == sig
+      // the signature is a cheap screen; equality is CONFIRMED exactly
+      // (equal counts + empty one-sided except ⇒ equal sets) so a
+      // hash-sum collision can never declare convergence on a
+      // non-fixed-point edge set — the confirm job runs once, on the
+      // candidate-convergence round only
+      converged = newSig == sig && small.except(e).head(1).isEmpty
       sig = newSig
       e = small
       iter += 1

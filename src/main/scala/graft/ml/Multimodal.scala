@@ -154,11 +154,12 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty || n <= 0) return Seq.empty
     if (sniffFormat(bytes) != "gif") return sampleFramesStub(bytes, n)
     var reader: javax.imageio.ImageReader = null
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       if (!readers.hasNext) return sampleFramesStub(bytes, n)
       reader = readers.next()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       reader.setInput(iis, false, true)
       val total = reader.getNumImages(true)
@@ -167,7 +168,14 @@ object Multimodal {
       val indices = (0 until k).map(i => i * total / k).distinct
       indices.map(idx => (idx, ImageKit.phash(reader.read(idx))))
     } catch { case _: Exception => sampleFramesStub(bytes, n) }
-    finally if (reader != null) reader.dispose()
+    finally {
+      // this runs per ROW under the UDF: the stream must close here —
+      // reader.dispose() does not close it, and ImageIO's default
+      // createImageInputStream would hold a temp-file fd per call; the
+      // memory-backed stream keeps the hot path fd-free entirely
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
   }
 
   val sampleFramesRealUdf = udf((bytes: Array[Byte], n: Int) =>

@@ -24,20 +24,34 @@ import javax.net.ssl.{SSLContext, X509TrustManager}
   */
 final class HttpTransport extends RemoteTransport {
 
-  // trust-all = requests' verify=False; fall back to the default context
-  // if the platform refuses (then verification is ON, which only ever
-  // narrows what connects — never widens)
+  // trust-all = requests' verify=False. An X509ExtendedTrustManager is
+  // required, not the plain interface: JSSE wraps a plain trust manager
+  // in one that still performs HTTPS endpoint identification, so only
+  // the extended form with no-op checks disables BOTH chain validation
+  // and hostname verification (the buddy is typically addressed by IP
+  // or internal alias with a self-signed cert). Fall back to the default
+  // context if the platform refuses — verification then stays ON, which
+  // only ever narrows what connects.
   private val sslContext: SSLContext =
     try {
-      val trustAll = new X509TrustManager {
+      val trustAll = new javax.net.ssl.X509ExtendedTrustManager {
         override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
         override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+        override def checkClientTrusted(c: Array[X509Certificate], a: String,
+            s: java.net.Socket): Unit = ()
+        override def checkServerTrusted(c: Array[X509Certificate], a: String,
+            s: java.net.Socket): Unit = ()
+        override def checkClientTrusted(c: Array[X509Certificate], a: String,
+            e: javax.net.ssl.SSLEngine): Unit = ()
+        override def checkServerTrusted(c: Array[X509Certificate], a: String,
+            e: javax.net.ssl.SSLEngine): Unit = ()
         override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
       }
       val ctx = SSLContext.getInstance("TLS")
-      ctx.init(null, Array(trustAll), new SecureRandom())
+      ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll),
+        new SecureRandom())
       ctx
-    } catch { case _: Throwable => SSLContext.getDefault }
+    } catch { case scala.util.control.NonFatal(_) => SSLContext.getDefault }
 
   private val client: HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
@@ -53,7 +67,13 @@ final class HttpTransport extends RemoteTransport {
       val resp = client.send(req,
         HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
       Some(resp.body())
-    } catch { case _: Throwable => None }
+    } catch {
+      // the reference maps any request error to None — but cancellation
+      // must keep its interrupt flag, and fatal VM errors must propagate
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   override def post(url: String, json: String,
       params: Map[String, String], timeoutS: Int): Boolean =
@@ -71,5 +91,9 @@ final class HttpTransport extends RemoteTransport {
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
       resp.statusCode() == 200
-    } catch { case _: Throwable => false }
+    } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false
+      case scala.util.control.NonFatal(_) => false
+    }
 }

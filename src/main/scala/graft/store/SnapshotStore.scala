@@ -87,11 +87,16 @@ final class SnapshotStore(root: String) {
     extractLong(text, "snapshot")
   }
 
-  /** Read a specific snapshot (time travel), or the latest. */
+  /** Read a specific snapshot (time travel), or the latest. A snapshot
+    * is readable only once its manifest exists — the manifest is written
+    * after the data, so this refuses torn (partially written) snapshots
+    * instead of silently loading a subset of part files. */
   def read(spark: SparkSession, table: String,
       snapshot: Option[Long] = None): Option[DataFrame] = {
     val snap = snapshot.orElse(latestSnapshot(table)).getOrElse(return None)
-    val dataPath = snapshotDir(table, snap).resolve("data")
+    val dir = snapshotDir(table, snap)
+    if (!Files.exists(dir.resolve("manifest.json"))) return None
+    val dataPath = dir.resolve("data")
     if (!Files.exists(dataPath)) return None
     Some(spark.read.parquet(dataPath.toString))
   }

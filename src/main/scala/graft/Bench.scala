@@ -63,14 +63,17 @@ object Bench {
     // production configuration: crawl-seq artifact off (ordering stays
     // deterministic via url_hash); robots cache sized to the working set
     // like a real deployment (the reference's 400 is per-process — a
-    // 1000-executor run shards hosts, so per-shard cap ≈ working set)
+    // 1000-executor run shards hosts, so per-shard cap ≈ working set);
+    // bloomRanges = 16 so the measured path IS the design-scale
+    // hash-range-partitioned Bloom, not the single-filter special case
     // NOTE: in this emulation the partition count IS the concurrency cap
     // (one local[32] JVM, no per-executor slot limit) — fetchPartitions
     // must equal `slots` exactly; finer "wave" partitioning would hand a
     // 2-slot run extra physical cores and fabricate throughput
     val loop = new CrawlLoop(spark, internet,
       CrawlConfig(maxBatches = 2, perHostBudget = 100,
-        fetchPartitions = slots, useBloom = true, emitCrawlSeq = false,
+        fetchPartitions = slots, useBloom = true, bloomRanges = 16,
+        emitCrawlSeq = false,
         robotsCacheSize = math.max(1024, 2 * scale)))
     val seeds = (0 until scale).map(k => s"https://site-$k.test/")
     val t0 = System.nanoTime()
@@ -119,10 +122,9 @@ object Bench {
     reaper.start()
 
     // ---- 2. headline queries (reserve: at most ~30% of budget) ---------
-    // the r01-comparable headline set; q17 deliberately absent — the
-    // synthetic corpus at sf0.1 contains ~850k TRUE ≥0.6-Jaccard pairs
-    // (7% of all pairs), so the exact join's cost there is true-pair
-    // verification, not a plan defect, and it would eat the whole budget
+    // the r01-comparable headline set at sfDir; q17 runs after this loop
+    // at sf0.01 (its sf0.1 cost is true-pair verification volume, not
+    // plan work — see the comment there)
     val headline = Seq("q01_agg", "q02_join_broadcast", "q04_topk_window",
       "q06_ordered_coalesce", "q09_gap_window", "q11_dedup_exact",
       "q12_langid_sql", "q14_token_count", "q15_minhash_lsh",
@@ -148,6 +150,15 @@ object Bench {
         times += name -> (System.nanoTime() - t0) / 1e9
       } else System.err.println(s"[bench] budget: skipped $name")
     }
+    // q17 — the exact set-similarity join — is timed at sf0.01, pinned:
+    // at sf0.1 the synthetic corpus holds ~850k TRUE ≥0.6-Jaccard pairs
+    // (7% of all pairs) so the cost there is true-pair verification, not
+    // plan work; sf0.01 times the prefix-filter plan itself (r4 ask #6)
+    if (elapsed < queryStop) {
+      val t0 = System.nanoTime()
+      runQuery("q17_ngram_jaccard", "/root/testdata/sf0.01")
+      times += "q17_ngram_jaccard_sf001" -> (System.nanoTime() - t0) / 1e9
+    } else System.err.println("[bench] budget: skipped q17@sf0.01")
 
     // ---- 3. crawl scaling within the remaining budget ------------------
     // No dedicated warmup crawl: a warmup is an unbounded budget hole
@@ -181,23 +192,14 @@ object Bench {
       val estTput8 = if (calib > 1.0) calib else 1500.0
       val crawlBudget = math.max(remaining, 30.0)
       // a round is t8 + t2 ≈ t8·(1+3.2) = 4.2·t8; size the base so the
-      // base round PLUS one 2.5× escalation round (the 0.8-efficiency
-      // regime) fit: 4.2·(1+2.5)·1.1 margin ≈ 15.9·t8-per-site-unit;
+      // base round PLUS one 2.0× escalation round (the 0.8-efficiency
+      // regime) fit: 4.2·(1+2.0)·1.1 margin ≈ 13.9·t8-per-site-unit;
       // further escalations/reps ride whatever budget then remains
-      val fit = 0.8 * crawlBudget * estTput8 / (urlsPerSite * 15.9)
+      val fit = 0.8 * crawlBudget * estTput8 / (urlsPerSite * 13.9)
       val baseScale = math.min(scale, math.max(100, fit.toInt / 50 * 50))
       System.err.println(f"[bench] crawl budget $crawlBudget%.0fs → " +
         f"base $baseScale sites (env cap $scale)")
 
-      def measure(slots: Int, sites: Int): Unit =
-        try {
-          val r = crawlOnce(spark, sites, slots)
-          System.err.println(f"[bench] sites=$sites slots=$slots sec=${r._2}%.1f")
-          val k = (slots, sites)
-          if (!best.contains(k) || r._2 < best(k)._2) best(k) = r
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] sites=$sites slots=$slots failed: ${e.getMessage}")
-        }
       def t8at(sites: Int): Double = best.get((8, sites)).map(_._2)
         .getOrElse(urlsPerSite * sites / estTput8)
       def est(slots: Int, sites: Int): Double =
@@ -208,6 +210,55 @@ object Bench {
             case _  => t8at(sites)
           }
         }
+      // per-rep watchdog (r4 lesson: ONE steal-inflated 850-site rep ran
+      // 249 s vs ~40 s estimated, burned the escalation budget to
+      // completion and left the artifact at the smaller scale). Each
+      // measurement runs in its own thread under its own job group with a
+      // deadline of 3× its physical-bounds estimate (flat floor for tiny
+      // estimates, capped at what the wall budget can still afford);
+      // exceeding it cancels the job group and records NOTHING — the
+      // escalation/rep loops already treat a missing level as retryable,
+      // so a cancelled rep costs its deadline, not the whole budget.
+      var measureSeq = 0
+      def measure(slots: Int, sites: Int): Unit = {
+        val estS = est(slots, sites)
+        val deadline = math.min(math.max(3.0 * estS, 30.0),
+          math.max(remaining + 15.0, 30.0))
+        measureSeq += 1
+        val group = s"bench-$measureSeq-s$slots-n$sites"
+        val out = new java.util.concurrent.atomic.AtomicReference[(Long, Double)]()
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val worker = new Thread(() => {
+          try {
+            spark.sparkContext.setJobGroup(group,
+              s"bench crawl $sites sites @ $slots slots",
+              interruptOnCancel = true)
+            out.set(crawlOnce(spark, sites, slots))
+          } catch { case t: Throwable => err.set(t) }
+          finally spark.sparkContext.clearJobGroup()
+        }, group)
+        worker.setDaemon(true)
+        val t0 = System.nanoTime()
+        worker.start()
+        worker.join((deadline * 1000).toLong)
+        if (worker.isAlive) {
+          System.err.println(f"[bench] sites=$sites slots=$slots CANCELLED " +
+            f"after ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+            f"(deadline $deadline%.1fs = 3x est $estS%.1fs) — no data kept")
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => }
+          worker.interrupt()
+          worker.join(10000)
+        } else if (err.get != null) {
+          System.err.println(s"[bench] sites=$sites slots=$slots failed: " +
+            s"${err.get.getMessage}")
+        } else if (out.get != null) {
+          val r = out.get
+          System.err.println(f"[bench] sites=$sites slots=$slots sec=${r._2}%.1f")
+          val k = (slots, sites)
+          if (!best.contains(k) || r._2 < best(k)._2) best(k) = r
+        }
+      }
       // base round: ONE rep at each headline level (8 first — it sizes
       // the escalation estimates). The first rep runs even when the
       // estimate says it won't fit — without it there is no evidence at
@@ -218,14 +269,15 @@ object Bench {
       // spent its budget on rep 2 at a steal-shrunk 150-site base and the
       // 0.8-efficiency regime at 400-600 sites never ran): scaling
       // efficiency is a big-batch property — the per-batch orchestration
-      // floor amortizes with batch size — so climb 2.5×-larger rounds
-      // sized from MEASURED times first; the report picks the best
-      // complete round
+      // floor amortizes with batch size — so climb 2.0×-larger rounds
+      // sized from MEASURED times first (2.0, down from r4's 2.5: with
+      // the per-rep watchdog a cancelled leg strands less scale and the
+      // climb retries sooner); the report picks the best complete round
       var cur = baseScale
       def runEscalation(): Unit = {
         var escalate = true
         while (escalate) {
-          val next = math.min(scale, (cur * 2.5).toInt / 50 * 50)
+          val next = math.min(scale, (cur * 2.0).toInt / 50 * 50)
           val scaleUp = next.toDouble / cur
           val roundCost = (est(8, cur) + est(2, cur)) * scaleUp * 1.1
           if (next > cur && remaining > 1.15 * roundCost &&

@@ -28,7 +28,8 @@ object ScalingProbe {
       spark.conf.set("spark.sql.shuffle.partitions", slots.toString)
       val loop = new CrawlLoop(spark, internet,
         CrawlConfig(maxBatches = 2, perHostBudget = 100,
-          fetchPartitions = slots, useBloom = true, emitCrawlSeq = false,
+          fetchPartitions = slots, useBloom = true, bloomRanges = 16,
+          emitCrawlSeq = false,
           robotsCacheSize = math.max(1024, 2 * sites), verbose = true))
       val seeds = (0 until sites).map(k => s"https://site-$k.test/")
       val t0 = System.nanoTime()

@@ -207,6 +207,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q28_ann_sketch" -> ((s, dir) => {
+      // the default ANN scale path (sign-sketch Hamming prefilter + exact
+      // re-rank): on this corpus the 768-bit radius recovers the exact
+      // brute top-5 while scoring <25% of the pairs, so the oracle is the
+      // same GENUINE DuckDB brute-force mirror as q18 — a stronger check
+      // than a golden pin (the prefilter must lose nothing, not just stay
+      // byte-stable)
+      val emb = ld(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Ann.sketchTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "q20_fingerprint" -> ((s, dir) => {
       val fp = udf((text: String) =>
         TextKit.winnowingFingerprint(text).length)
@@ -483,6 +496,23 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
     "q19_ann_ivf" ->
       s"SELECT * FROM read_parquet('$fixturesDir/q19_ann_ivf.parquet')",
+    // q28 = q18's genuine brute-force mirror: the sketch prefilter must
+    // recover the exact brute ranking on this corpus (recall 1.0 — see
+    // the Scaladoc on Ann.sketchTopK and the MlSpec sweep)
+    "q28_ann_sketch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM c CROSS JOIN q WHERE neighbor_id != query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY floor(cos * 1e6) / 1e6 DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q20_fingerprint" ->
       s"SELECT * FROM read_parquet('$fixturesDir/q20_fingerprint.parquet')",
     "q21_langid_engine" ->

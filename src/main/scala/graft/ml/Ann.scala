@@ -72,7 +72,64 @@ object Ann {
     rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
   }
 
-  /** IVF top-k: rows scored only in the query's `nProbe` nearest cells. */
+  /** The default training-pipeline ANN path: sign-sketch Hamming
+    * prefilter + exact cosine re-rank.
+    *
+    * IVF's recall ceiling on UNCLUSTERED corpora is structural: a true
+    * neighbor at cosine ~0.3 (the regime of real web embeddings — see
+    * MlSpec's measured curve) lands in a probed Voronoi cell barely more
+    * often than chance, so even k-means cells cap recall ~0.7 at a 25%
+    * probe fraction. A per-row `sketchBits`-bit random-hyperplane sign
+    * sketch has no cells to miss: E[Hamming] = bits·acos(cos)/π, so with
+    * 768 bits a cosine-0.3 neighbor concentrates ~9σ below random pairs,
+    * and a fixed Hamming radius keeps ≥0.9 recall while scoring ≲20% of
+    * the corpus.
+    *
+    * Scale shape: the sketch is one map pass (96 bytes/row at the
+    * default — vectors never shuffle); the per-pair prefilter is pure
+    * codegen'd XOR/bit_count long arithmetic (~10-20× cheaper than the
+    * 64-dim float dot it gates); `cosineUdf` runs only on rows inside
+    * the radius. The threshold is a deterministic function of
+    * (sketchBits, hammingFraction) — no data-dependent quantile pass, so
+    * results replay exactly. Queries broadcast like [[bruteForceTopK]];
+    * block the query set for query volumes beyond broadcast size. */
+  def sketchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, sketchBits: Int = 768,
+      hammingFraction: Double = 0.46): DataFrame = {
+    require(sketchBits % 64 == 0, "sketchBits must be a multiple of 64")
+    val words = sketchBits / 64
+    val sketchUdf = udf { (v: Seq[Float]) =>
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < d.length) { d(i) = v(i).toDouble; i += 1 }
+      (0 until words).map(w =>
+        Dedup.signSketch(d, 64, 0x5eedL + 0x9e37L * w))
+    }
+    val threshold = (sketchBits * hammingFraction).toInt
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("csk", sketchUdf(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qsk", sketchUdf(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(csk, qsk, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, h) -> acc + h)"))
+      .filter(col("hamming") <= threshold)
+      .withColumn("cosine", cosineUdf(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** IVF top-k: rows scored only in the query's `nProbe` nearest cells.
+    * Right when the corpus HAS coarse cluster structure (then cells
+    * prune 1-nProbe/nCells of the work for near-total recall — the
+    * easy-clusters MlSpec test measures 1.0); for unclustered embedding
+    * corpora prefer [[sketchTopK]], whose recall does not depend on
+    * cluster structure. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession

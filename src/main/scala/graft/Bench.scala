@@ -273,10 +273,12 @@ object Bench {
       // budget affords, sized from MEASURED per-site cost (r5: fixed 2×
       // steps from a steal-shrunk 100-site base burned the budget on
       // 200/400-site rungs and never reached the ≥0.8 regime; a
-      // budget-driven jump goes 100 → ~400 in one round). Growth is
-      // capped at 4×/step so one noisy small measurement cannot launch
-      // an absurd jump — the per-rep watchdog bounds the cost if the
-      // projection was optimistic anyway.
+      // budget-driven jump goes 100 → ~350 in one round). Growth is
+      // capped at 2.5×/step: a 4× jump proved all-or-nothing — when a
+      // steal burst drowned the top scale's 2-slot leg, no middle rung
+      // existed and the report fell back to the tiny base — while
+      // 2.5×/step reaches the same top in two rounds and leaves a
+      // mid-scale complete round as the fallback evidence.
       var cur = baseScale
       def runEscalation(): Unit = {
         var escalate = true
@@ -284,7 +286,7 @@ object Bench {
           val perSite = (est(8, cur) + est(2, cur)) * 1.1 / cur
           val affordable = (0.6 * remaining / perSite).toInt
           val next = math.min(scale,
-            math.min(4 * cur, affordable)) / 50 * 50
+            math.min((2.5 * cur).toInt, affordable)) / 50 * 50
           if (next >= (1.5 * cur).toInt &&
               best.contains((8, cur)) && best.contains((2, cur))) {
             measure(8, next)

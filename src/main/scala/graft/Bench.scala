@@ -202,13 +202,27 @@ object Bench {
 
       def t8at(sites: Int): Double = best.get((8, sites)).map(_._2)
         .getOrElse(urlsPerSite * sites / estTput8)
+      // what a CLEAN (steal-free) rep would take, from the physical ratios
+      def cleanEst(slots: Int, sites: Int): Double = slots match {
+        case 2  => 3.2 * t8at(sites)
+        case 32 => 0.6 * t8at(sites)
+        case _  => t8at(sites)
+      }
       def est(slots: Int, sites: Int): Double =
-        best.get((slots, sites)).map(_._2).getOrElse {
-          slots match {
-            case 2  => 3.2 * t8at(sites)
-            case 32 => 0.6 * t8at(sites)
-            case _  => t8at(sites)
-          }
+        best.get((slots, sites)) match {
+          // a recorded 2-slot min that violates the 4.5x physical bound
+          // vs the recorded 8-slot min is steal-inflated BY CONSTRUCTION
+          // (2 slots cannot be that much slower than 8 for the same
+          // work); estimating from it poisons every budget gate — one r5
+          // run kept est(2,750)=132.9s while a clean rep was ~89s, so
+          // the rep passes gated t2 out (1.2x159s never fit), spent
+          // three reps re-sharpening the already-clean t8 leg, and the
+          // report fell back to the base scale. Estimate a clean rep.
+          case Some((_, m)) if slots == 2 &&
+              best.get((8, sites)).exists(t8 => m > 4.5 * t8._2) =>
+            cleanEst(2, sites)
+          case Some((_, m)) => m
+          case None => cleanEst(slots, sites)
         }
       // per-rep watchdog (r4 lesson: ONE steal-inflated 850-site rep ran
       // 249 s vs ~40 s estimated, burned the escalation budget to
@@ -222,6 +236,19 @@ object Bench {
       var measureSeq = 0
       def measure(slots: Int, sites: Int): Unit = {
         val estS = est(slots, sites)
+        // physical-feasibility gate: when the remaining budget (+reaper
+        // margin) cannot fit even a steal-FREE rep, starting one is pure
+        // waste — it burns its whole deadline and is then cancelled
+        // (observed r5: a 75s-deadline t2 retry against a clean time of
+        // ~89s). The flat canRetry floor deliberately allows cheap
+        // retries; this gate only blocks physically-impossible ones.
+        val clean = cleanEst(slots, sites)
+        if (remaining + 15.0 < clean) {
+          System.err.println(f"[bench] sites=$sites slots=$slots SKIPPED: " +
+            f"remaining $remaining%.0fs cannot fit even a clean " +
+            f"~$clean%.0fs rep")
+          return
+        }
         val deadline = math.min(math.max(3.0 * estS, 30.0),
           math.max(remaining + 15.0, 30.0))
         measureSeq += 1
@@ -311,7 +338,13 @@ object Bench {
       // would have deflated a steal-inflated 38 s measurement)
       while (pass < math.max(3, reps) &&
           remaining > 1.2 * math.min(est(8, cur), est(2, cur))) {
-        for (slots <- Seq(8, 2))
+        // spend the next rep on the SUSPECT leg first: when the recorded
+        // 2-vs-8 pair is (near-)non-physical, the 2-slot min is what is
+        // blocking a physical report — re-sharpening the clean t8 leg
+        // first can strand the t2 retry past the budget (r5 run above)
+        val suspect2 = best.contains((2, cur)) && best.contains((8, cur)) &&
+          best((2, cur))._2 > 4.2 * best((8, cur))._2
+        for (slots <- if (suspect2) Seq(2, 8) else Seq(8, 2))
           if (remaining > 1.2 * est(slots, cur)) measure(slots, cur)
         runEscalation()
         pass += 1

@@ -249,8 +249,19 @@ object Bench {
             f"~$clean%.0fs rep")
           return
         }
-        val deadline = math.min(math.max(3.0 * estS, 30.0),
+        val deadline0 = math.min(math.max(3.0 * estS, 30.0),
           math.max(remaining + 15.0, 30.0))
+        // a 2-slot rep running past 4.6x the recorded 8-slot min can
+        // never form a physical pair (bound 4.5x): its only possible
+        // contribution is non-physical fallback data the report
+        // deprioritizes anyway. Cancelling there leaves budget for a
+        // fresh attempt that may dodge the burst (observed r5: a 600-site
+        // t2 leg held its 3x-estimate deadline for 330 s — the whole
+        // remaining budget — when no result past ~160 s could matter).
+        val deadline = if (slots == 2)
+          best.get((8, sites)).map(t8 => math.min(deadline0,
+            math.max(4.6 * t8._2, 45.0))).getOrElse(deadline0)
+          else deadline0
         measureSeq += 1
         val group = s"bench-$measureSeq-s$slots-n$sites"
         val out = new java.util.concurrent.atomic.AtomicReference[(Long, Double)]()

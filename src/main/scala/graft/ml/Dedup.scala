@@ -133,10 +133,18 @@ object Dedup {
   def lshCandidatePairsObserved(df: DataFrame, idCol: String,
       textCol: String, bands: Int = 16,
       maxBucket: Int = 1000): (DataFrame, BucketStats) = {
+    // the (id, band) sketch table is materialized ONCE: it feeds the
+    // bucket aggregation AND both sides of the candidate self-join, and
+    // Spark shares no subtrees across DataFrame references — without the
+    // checkpoint the 64-permutation minhash UDF re-tokenizes and
+    // re-sketches the full corpus three times. The sketch table is the
+    // cheap thing to store (16 longs/doc vs the text it summarizes);
+    // sketch-once-then-join is the standard web-scale LSH shape.
     val withBand = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", minhashUdf(col("text")))
       .withColumn("band", explode(bandHashesUdf(col("sig"), lit(bands))))
       .select("id", "band")
+      .localCheckpoint(true)
     val (ok, stats) = survivingBuckets(withBand, "band", maxBucket,
       "minhash-lsh")
     val capped = withBand.join(ok, Seq("band"))
@@ -207,10 +215,13 @@ object Dedup {
   def simhashNearDupPairsObserved(df: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3,
       maxBucket: Int = 1000): (DataFrame, BucketStats) = {
+    // materialized once for the same reason as the minhash band table:
+    // three references, and the simhash UDF tokenizes the full text
     val chunked = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("simhash", simhashUdf(col("text")))
       .withColumn("chunk", explode(chunksUdf(col("simhash"))))
       .select("id", "simhash", "chunk")
+      .localCheckpoint(true)
     val (ok, stats) = survivingBuckets(chunked, "chunk", maxBucket,
       "simhash")
     val capped = chunked.join(ok, Seq("chunk"))
@@ -440,10 +451,13 @@ object Dedup {
       threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // materialized once: three references, and the 64-plane sign sketch
+    // is O(planes x dims) float work per row
     val chunked = vecs
       .withColumn("sketch", signSketchUdf(col("v")))
       .withColumn("chunk", explode(chunksUdf(col("sketch"))))
       .select("id", "chunk")
+      .localCheckpoint(true)
     val (ok, _) = survivingBuckets(chunked, "chunk", maxBucket,
       "embed-neardup")
     val capped = chunked.join(ok, Seq("chunk"))
@@ -482,8 +496,14 @@ object Dedup {
     val gramsUdf = udf((t: String) => TextKit.charNgramHashes(t, n))
     val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       TextKit.jaccardSorted(a.toArray, b.toArray))
+    // (id, sorted grams) is referenced five times (frequency pass,
+    // prefix pass, the no-gram branch, both verify sides) and Spark
+    // shares no subtrees across references — materialize the
+    // tokenize+hash+sort work once. Standard tokenize-once trade: the
+    // gram table is the thing every later stage keys on.
     val docs = df.select(col(idCol).as("id"),
       sort_array(gramsUdf(col(textCol))).as("g"))
+      .localCheckpoint(true)
     val exploded = docs.select(col("id"), size(col("g")).as("glen"),
       explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -494,8 +514,13 @@ object Dedup {
       .filter(col("rn") <=
         col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
       .select("id", "gram")
+    // the prefix index is the output of the whole doc-frequency +
+    // window pipeline (three shuffles) and both candidate self-join
+    // sides read it — materialize it once; it holds only each doc's
+    // ~(1-t)|g|+1 rarest grams, far smaller than the gram table
     val indexed = prefix.unionByName(docs.filter(size(col("g")) === 0)
       .select(col("id"), lit(Long.MinValue).as("gram")))
+      .localCheckpoint(true)
     val candidates = indexed.select(col("gram"), col("id").as("id_a"))
       .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))

@@ -382,8 +382,15 @@ object Bench {
         measure(8, cur); extra += 1 // 8 slots cannot be slower than 2
       }
       while (extra < 8 && best.contains((2, cur)) && best.contains((8, cur)) &&
-          best((2, cur))._2 > 4.5 * best((8, cur))._2 && canRetry(2)) {
-        measure(2, cur); extra += 1 // eff > 1.125 is impossible: 2 inflated
+          best((2, cur))._2 > 4.0 * best((8, cur))._2 && canRetry(2)) {
+        // a ratio above 4.0 is SUPERLINEAR scaling — impossible on one
+        // box (perfect scaling is exactly 4.0; the per-batch floor makes
+        // real runs sublinear), so the 2-slot min still carries steal
+        // inflation that flatters the efficiency. Re-measure while
+        // budget remains: a flattering-but-implausible 1.0+ report is
+        // worse evidence than an honest 0.8 (observed: t2 108.5 vs
+        // clean ~86 s at 600 sites reported eff 1.006).
+        measure(2, cur); extra += 1
       }
       // 32 slots strictly adds cores over 8 — a 32-slot min slower than
       // the 8-slot min means that single landed in a burst (measured: one
@@ -415,7 +422,7 @@ object Bench {
       // refreshed minima can re-expose a non-physical pair — one more
       // bounded police pass (same rules as above)
       while (mono < 7 && best.contains((2, cur)) && best.contains((8, cur)) &&
-          best((2, cur))._2 > 4.5 * best((8, cur))._2 && canRetry(2)) {
+          best((2, cur))._2 > 4.0 * best((8, cur))._2 && canRetry(2)) {
         measure(2, cur); mono += 1
       }
       while (mono < 7 && best.contains((8, cur)) && best.contains((2, cur)) &&

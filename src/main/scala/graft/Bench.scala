@@ -355,9 +355,16 @@ object Bench {
         // first can strand the t2 retry past the budget (r5 run above)
         val suspect2 = best.contains((2, cur)) && best.contains((8, cur)) &&
           best((2, cur))._2 > 4.2 * best((8, cur))._2
-        for (slots <- if (suspect2) Seq(2, 8) else Seq(8, 2))
+        for (slots <- if (suspect2) Seq(2, 8) else Seq(8, 2)) {
           if (remaining > 1.2 * est(slots, cur)) measure(slots, cur)
-        runEscalation()
+          // re-check escalation after EVERY leg, not once per pass: a
+          // single refreshed minimum can flip affordability, and the
+          // other leg's rep at the CURRENT scale may be exactly the
+          // budget a larger round needed (observed: t8 31.2→18.5 s at
+          // 350 sites made a 550-site round affordable, but a 60 s t2
+          // rep ran first and stranded it)
+          runEscalation()
+        }
         pass += 1
       }
       measuredSites = cur

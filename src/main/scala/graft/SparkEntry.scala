@@ -216,7 +216,12 @@ object SparkEntry {
       // byte-stable)
       val emb = ld(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      Ann.sketchTopK(emb, queries, "vec_id", "embedding", k = 5)
+      // production split: the 96 B/row sketch index is built (persisted,
+      // in a deployment) separately from the query; the prefilter scans
+      // only (id, sketch) and vectors join back for in-radius rows
+      val idx = Ann.sketchIndex(emb, "vec_id", "embedding")
+      Ann.sketchTopK(emb, queries, "vec_id", "embedding", k = 5,
+        index = Some(idx))
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),

@@ -111,6 +111,21 @@ object Dedup {
     (keys, stats)
   }
 
+  /** Materialize the (small) final pairs frame, then RELEASE the big
+    * intermediate checkpoints that produced it (r5 ADVICE: the sketch /
+    * gram tables — often larger than the text they summarize — stayed
+    * pinned in executor storage for the frame's lifetime). The pairs
+    * functions below are therefore EAGER: the candidate/verify work runs
+    * at call time, the returned frame is a materialized id-pair table
+    * (true-pair volume — tiny next to any intermediate), and the only
+    * storage that outlives the call is that result. */
+  private def materializeAndRelease(pairs: DataFrame,
+      intermediates: DataFrame*): DataFrame = {
+    val out = pairs.localCheckpoint(true)
+    intermediates.foreach(uncheckpoint)
+    out
+  }
+
   private val lastBucketStats =
     new java.util.concurrent.ConcurrentHashMap[String, BucketStats]()
 
@@ -124,7 +139,8 @@ object Dedup {
   /** MinHash-LSH candidate pairs: df(idCol, textCol) → (id_a, id_b) with
     * id_a < id_b. Only sketches shuffle; pairs come from a self-join on
     * the band key (AQE can skew-split it), never from per-bucket row
-    * materialization. */
+    * materialization. EAGER — see [[materializeAndRelease]]: the work
+    * runs at call time and only the id-pair result stays persisted. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, maxBucket: Int = 1000): DataFrame =
     lshCandidatePairsObserved(df, idCol, textCol, bands, maxBucket)._1
@@ -153,7 +169,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    (pairs, stats)
+    (materializeAndRelease(pairs, withBand, ok), stats)
   }
 
   /** Candidates verified by exact shingle Jaccard ≥ threshold. The text
@@ -205,7 +221,8 @@ object Dedup {
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (two docs within
     * Hamming distance ≤ 3 of 64 bits must agree on at least one chunk),
     * verify Hamming on the self-joined candidates via codegen'd
-    * `bit_count` — no pair UDF, no per-bucket row materialization. */
+    * `bit_count` — no pair UDF, no per-bucket row materialization.
+    * EAGER — see [[materializeAndRelease]]. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
     simhashNearDupPairsObserved(df, idCol, textCol, maxHamming,
@@ -234,7 +251,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
-    (pairs, stats)
+    (materializeAndRelease(pairs, chunked, ok), stats)
   }
 
   val chunksUdf = udf((h: Long) =>
@@ -245,9 +262,14 @@ object Dedup {
   /** Free the block-storage of a frame produced by `localCheckpoint` once
     * a newer round supersedes it: O(log n)-round iterative algorithms
     * otherwise pin every intermediate edge/label set in executor storage
-    * until the job ends (r4 ADVICE). No-op for non-checkpoint frames;
-    * correctness never depends on it (an unpersisted block just
-    * recomputes — and superseded frames are never read again anyway). */
+    * until the job ends (r4 ADVICE). No-op for non-checkpoint frames.
+    *
+    * INVARIANT (r5 ADVICE): a frame must NEVER be read again after
+    * `uncheckpoint` — `localCheckpoint` TRUNCATES lineage, so an
+    * unpersisted block is unrecoverable, not recomputable. Call sites
+    * here only ever release frames that are strictly superseded (an
+    * older CC round, or an intermediate whose consumer is itself already
+    * materialized). */
   private def uncheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -446,7 +468,7 @@ object Dedup {
     * cosine verify on candidates only. Only 8-byte sketches shuffle —
     * never the vectors; candidates re-join the vector column. The same
     * 100 TB shape as q15: candidate volume tracks true-pair volume, not
-    * corpus². */
+    * corpus². EAGER — see [[materializeAndRelease]]. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
@@ -465,12 +487,13 @@ object Dedup {
       .join(capped.select(col("chunk"), col("id").as("id_b")), Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
+    val pairs = candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", cosineUdf(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
+    materializeAndRelease(pairs, chunked, ok)
   }
 
   // ------------------------------------- exact set-similarity self-join
@@ -490,7 +513,7 @@ object Dedup {
     * with each other; they index a sentinel key and pair through the same
     * equi-join — no BroadcastNestedLoop/Cartesian node anywhere. All
     * shuffles key on gram or doc id; the gram-frequency join skew on stop
-    * n-grams is AQE-splittable. */
+    * n-grams is AQE-splittable. EAGER — see [[materializeAndRelease]]. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val gramsUdf = udf((t: String) => TextKit.charNgramHashes(t, n))
@@ -525,11 +548,15 @@ object Dedup {
       .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
+    val pairs = candidates
       .join(docs.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
       .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
+    // the gram table (~one long per character per doc) and the prefix
+    // index are the big checkpoints here — released as soon as the
+    // verified pairs materialize
+    materializeAndRelease(pairs, docs, indexed)
   }
 }

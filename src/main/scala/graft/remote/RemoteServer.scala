@@ -137,6 +137,24 @@ final class RemoteServer(
 
 object RemoteServer {
 
+  /** Deployment-facing construction of the production client — every
+    * knob in one place, notably `verifyTls` (r5 ADVICE: the flag existed
+    * on [[HttpTransport]] but nothing wired it through configuration). */
+  final case class Config(
+      remoteServer: String,
+      timeoutS: Int = 30,
+      clientId: Option[String] = None,
+      key: Option[String] = None,
+      /** false mirrors the reference's `verify=False` (the buddy lives
+        * inside the deployment's own network); true selects stock JSSE
+        * chain validation + hostname verification — a buddy with a real
+        * certificate flips this without a code change. */
+      verifyTls: Boolean = false)
+
+  def apply(cfg: Config): RemoteServer =
+    new RemoteServer(cfg.remoteServer, new HttpTransport(cfg.verifyTls),
+      cfg.timeoutS, cfg.clientId, cfg.key)
+
   /** Reference env-var pair naming the buddy (remoteserver.py:35-39). */
   def remoteServerLocation(env: String => Option[String] = sys.env.get)
       : Option[String] =

@@ -40,10 +40,47 @@ class HttpTransportSpec extends AnyFunSuite {
         case _ => None
       }).toMap
 
-  /** Serve `buddy` on an ephemeral loopback port; run `f(baseUrl)`. */
+  /** A keytool-minted self-signed server context: the JDK's own tooling,
+    * zero egress — the cert chains to NO trust anchor, which is exactly
+    * what the verifyTls test needs to reject. */
+  private def selfSignedContext(): javax.net.ssl.SSLContext = {
+    val dir = java.nio.file.Files.createTempDirectory("tls")
+    val ksPath = dir.resolve("ks.p12")
+    val keytool = new java.io.File(
+      System.getProperty("java.home"), "bin/keytool").getPath
+    val p = new ProcessBuilder(keytool, "-genkeypair", "-alias", "t",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-keypass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1", "-validity", "1")
+      .redirectErrorStream(true).start()
+    p.getInputStream.readAllBytes()
+    assert(p.waitFor() == 0, "keytool failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Serve `buddy` on an ephemeral loopback port; run `f(baseUrl)`.
+    * With `tlsCtx` the listener is HTTPS behind that context. */
   private def withBuddyServer(buddy: CrawlerBuddy,
-      slowPathDelayMs: Long = 0)(f: String => Unit): Unit = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      slowPathDelayMs: Long = 0,
+      tlsCtx: Option[javax.net.ssl.SSLContext] = None)
+      (f: String => Unit): Unit = {
+    val addr = new InetSocketAddress("127.0.0.1", 0)
+    val server = tlsCtx match {
+      case Some(ctx) =>
+        val s = com.sun.net.httpserver.HttpsServer.create(addr, 0)
+        s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+        s
+      case None => HttpServer.create(addr, 0)
+    }
     server.createContext("/", (ex: HttpExchange) => {
       try {
         if (slowPathDelayMs > 0) Thread.sleep(slowPathDelayMs)
@@ -64,7 +101,8 @@ class HttpTransportSpec extends AnyFunSuite {
       } catch { case _: Throwable => respond(ex, 500, "") }
     })
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    val scheme = if (tlsCtx.isDefined) "https" else "http"
+    try f(s"$scheme://127.0.0.1:${server.getAddress.getPort}")
     finally server.stop(0)
   }
 
@@ -135,6 +173,30 @@ class HttpTransportSpec extends AnyFunSuite {
       assert(a.nonEmpty)
       assert(JsonMethods.compact(JsonMethods.render(a.get)) ==
         JsonMethods.compact(JsonMethods.render(b.get)))
+    }
+  }
+
+  test("self-signed TLS: verifyTls=true fails the handshake, default fetches") {
+    // r5 ADVICE: the real certificate-validation path, not plain HTTP. A
+    // loopback HTTPS buddy presents a keytool-minted self-signed cert —
+    // no trust anchor, so the verify-on client MUST fail the handshake,
+    // while the trust-all parity default (the reference's verify=False)
+    // speaks the full wire protocol through it.
+    val buddy = new CrawlerBuddy(internet)
+    withBuddyServer(buddy, tlsCtx = Some(selfSignedContext())) { base =>
+      // transport level
+      assert(new HttpTransport().get(s"$base/api/info", 10).nonEmpty,
+        "trust-all default must accept the self-signed cert")
+      assert(new HttpTransport(verifyTls = true)
+        .get(s"$base/api/info", 10).isEmpty,
+        "verifyTls=true must reject an untrusted cert")
+      // and through the deployment config (RemoteServer.Config wires the
+      // flag without a code change)
+      val parity = RemoteServer(RemoteServer.Config(base))
+      val verifying = RemoteServer(RemoteServer.Config(base,
+        verifyTls = true))
+      assert(parity.getGetJ(url = Some("https://site-0.test")).nonEmpty)
+      assert(verifying.getGetJ(url = Some("https://site-0.test")).isEmpty)
     }
   }
 

@@ -453,6 +453,96 @@ class MlSpec extends AnyFunSuite {
     assert(sketch == brute, "sketchTopK defaults must recover brute exactly")
   }
 
+  test("sketch-ANN index split: prefilter scans sketches, never vectors") {
+    // the production shape (r5 VERDICT #2): the 96 B/row sketch index is
+    // built ONCE and persisted; query batches then run the Hamming
+    // prefilter over (id, sketch) only, and the corpus vector column is
+    // joined back for IN-RADIUS rows only. Pinned two ways: the plan
+    // subtree below the Hamming-radius predicate must contain no corpus
+    // vector scan (only the 8-row query side sketches vectors), and the
+    // index path must stay exact vs brute (the q28 bar).
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val tmp = java.nio.file.Files.createTempDirectory("sketchidx")
+    val idxPath = tmp.resolve("idx.parquet").toString
+    Ann.sketchIndex(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(idxPath)
+    val idx = spark.read.parquet(idxPath)
+    val top = Ann.sketchTopK(emb, queries, "vec_id", "embedding", k = 5,
+      index = Some(idx))
+    // the radius predicate may live in a Filter or be folded into the
+    // join condition — find it either way
+    val radiusNode: LogicalPlan = top.queryExecution.optimizedPlan.collectFirst {
+      case f: Filter if f.condition.toString.contains("bit_count") => f: LogicalPlan
+      case j: Join if j.condition.exists(_.toString.contains("bit_count")) =>
+        j: LogicalPlan
+    }.getOrElse(fail("no Hamming-radius predicate in the optimized plan"))
+    val scanPathsBelow = radiusNode.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+    assert(scanPathsBelow.exists(_.contains("idx.parquet")),
+      s"prefilter does not scan the sketch index: $scanPathsBelow")
+    assert(scanPathsBelow.count(_.contains("embeddings.parquet")) == 1,
+      "prefilter subtree must scan embeddings ONCE (the 8-row query " +
+        s"side), never the corpus vectors: $scanPathsBelow")
+    // exactness through the index path (same bar as q28's DuckDB mirror)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairsOf(Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    assert(pairsOf(top) == brute,
+      "index-path sketchTopK must recover brute exactly on this corpus")
+  }
+
+  test("ANN sketch-radius default holds at sf0.1 too (corpus-drift pin)") {
+    // r5 VERDICT #3: the shipped 0.46 Hamming fraction was evidenced on
+    // the sf0.01 distribution only. Same recall/scored-fraction bars at
+    // 10x the rows — driver-side exact bookkeeping from the same
+    // deterministic sketch the operator uses.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val brute = pairsOf(Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    assert(brute.size == 40)
+    val rows = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val bits = 768
+    val sk = rows.map { case (id, v) =>
+      id -> (0 until bits / 64).map(w =>
+        Dedup.signSketch(v, 64, 0x5eedL + 0x9e37L * w)).toArray
+    }.toMap
+    def hamming(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val qids = rows.map(_._1).filter(_ < 8)
+    val th = (bits * 0.46).toInt // the production default
+    var cand = 0
+    var hit = 0
+    qids.foreach { q =>
+      rows.foreach { case (id, _) =>
+        if (id != q && hamming(sk(q), sk(id)) <= th) {
+          cand += 1
+          if (brute.contains((q, id))) hit += 1
+        }
+      }
+    }
+    val recall = hit.toDouble / brute.size
+    val scored = cand.toDouble / (qids.length * (rows.length - 1))
+    info(f"sf0.1: sketch bits=$bits radius=$th recall $recall%.3f " +
+      f"scored-fraction $scored%.3f")
+    assert(recall >= 0.9, f"sf0.1 default-radius recall $recall%.3f < 0.9")
+    assert(scored <= 0.25, f"sf0.1 default-radius scored $scored%.3f > 0.25")
+  }
+
   test("multimodal: image meta + resize real, audio/video stubs shaped") {
     val row = ImageKit.imageRow(42L, 7)
     val meta = Multimodal.imageMeta(row.bytes).get

@@ -39,7 +39,12 @@ import graft.fetch.{SyntheticConfig, SyntheticInternet}
   *  (c) a budget reserve is held until one complete (2,8) pair exists;
   *      if the phase still ends pairless, ONE minimal 100-site round
   *      runs with the per-rep deadline waived (reaper-bounded) so the
-  *      artifact always carries a complete pair, honestly flagged.
+  *      artifact always carries a complete pair, honestly flagged;
+  *  (d) in a storm-flagged window the pair is secured FIRST: the base
+  *      round's t2 leg runs waived (a complete non-physical pair beats
+  *      an empty artifact — the t2 cap exists to protect retry budget
+  *      that a storm window cannot use anyway), and the supplementary
+  *      32-slot leg is skipped.
   * Every cancel and recalibration is emitted in the JSON (`cancelled`,
   * `recalibrations`, `storm_calibration`, `last_resort`) so a
   * storm-window artifact is self-diagnosing.
@@ -405,7 +410,19 @@ object Bench {
       // estimate says it won't fit — without it there is no evidence at
       // all — but never past the deadline.
       measure(8, baseScale)
-      if (crawlRem > 0) measure(2, baseScale)
+      // in a storm-flagged window the base t2 leg IS the survivor pair:
+      // its deadline is waived (the reaper still bounds it at the wall).
+      // Observed (r6 run 2, calibration 7× slow): the 4.6×-t8 cap
+      // cancelled a ~160 s t2 leg that was the only obtainable pair in
+      // the window, 200 s went to that cancel plus a doomed 32-slot leg,
+      // and the end-of-phase last resort then hit the wall — artifact
+      // empty. A complete NON-physical pair beats an empty artifact (the
+      // report flags physicality honestly); in a storm the pair is
+      // secured before anything else spends budget. If the storm t8 leg
+      // itself cancelled, the t2 spend waits for the backstop instead.
+      if (crawlRem > 0 &&
+          (!stormCalibration || best.contains((8, baseScale))))
+        measure(2, baseScale, waiveDeadline = stormCalibration)
       // escalation BEFORE second reps (round-3 lesson: the driver window
       // spent its budget on rep 2 at a steal-shrunk 150-site base and the
       // 0.8-efficiency regime never ran): scaling efficiency is a
@@ -474,7 +491,11 @@ object Bench {
         pass += 1
       }
       measuredSites = cur
-      if (crawlRem > 1.2 * est(32, cur)) measure(32, cur)
+      // the 32-slot level is supplementary (SMT-confounded) — in a
+      // storm-flagged window it is a doomed 40s burn (r6 run 2), so it
+      // only runs when the window is plausibly quiet
+      if (!stormCalibration && crawlRem > 1.2 * est(32, cur))
+        measure(32, cur)
       // steal-recovery at the report scale: a min-time implying a
       // physically impossible ratio means every rep of that level landed
       // in a steal burst — 8 slots can be at most ~2.6× slower than 32
@@ -564,7 +585,11 @@ object Bench {
               s"to complete the existing 8-slot leg at $n sites")
             measure(2, n, waiveDeadline = true)
           }
-        if (!pairDone) {
+        if (!pairDone && remaining > 40.0) {
+          // the >40s guard: with the wall already (nearly) blown, a fresh
+          // round is pure reaper fodder — r6 run 2 launched one at
+          // remaining ≤ 0 and pushed elapsed to 537 s against the
+          // driver's ~600 s kill for zero data
           val minimal = math.min(100, scale)
           System.err.println(s"[bench] LAST RESORT: no complete (2,8) pair " +
             s"— one un-deadlined $minimal-site round (reaper-bounded)")

@@ -63,6 +63,30 @@ import graft.fetch.{SyntheticConfig, SyntheticInternet}
   */
 object Bench {
 
+  /** Storm-window detection threshold: half the ~740 urls/s the 60-site
+    * calibration crawl sustains in a quiet window (18 logged BASELINE.md
+    * runs). Below it the window is a steal storm and the warm-throughput
+    * multiplier must not apply (BenchPolicySpec pins the boundary). */
+  private[graft] val StormCalibThreshold = 370.0
+  private[graft] def isStormCalibration(calibUrlsPerSec: Double): Boolean =
+    calibUrlsPerSec < StormCalibThreshold
+
+  /** Next escalation scale: grow ≤2.5×, bounded by what the budget
+    * affords, rounded DOWN to a 50-multiple BEFORE capping at the env
+    * scale — rounding after the cap made a non-50-multiple env cap
+    * unreachable (r5 ADVICE; BenchPolicySpec pins the regression). */
+  private[graft] def nextEscalationScale(envCap: Int, cur: Int,
+      affordable: Int): Int =
+    math.min(envCap, math.min((2.5 * cur).toInt, affordable) / 50 * 50)
+
+  /** 2-slot deadline cap: past 4.6× the recorded 8-slot min a 2-slot rep
+    * can never form a physical pair (bound 4.5×) — cancel it rather than
+    * hold its full 3×-estimate deadline (45 s flat floor for tiny t8). */
+  private[graft] def t2DeadlineCap(deadline0: Double,
+      t8Min: Option[Double]): Double =
+    t8Min.map(t8 => math.min(deadline0, math.max(4.6 * t8, 45.0)))
+      .getOrElse(deadline0)
+
   private def buildSession(threads: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$threads]")
@@ -232,7 +256,7 @@ object Bench {
       // deadline at ~1.4x a realistic storm time and EVERY leg
       // cancelled; the artifact kept nothing. Warm bonus only when the
       // window is plausibly quiet.
-      val stormCalibration = calibRate < 370.0
+      val stormCalibration = isStormCalibration(calibRate)
       stormCalibrationOut = stormCalibration
       if (stormCalibration)
         System.err.println(f"[bench] STORM calibration ($calibRate%.0f " +
@@ -347,8 +371,7 @@ object Bench {
         val deadline =
           if (waiveDeadline) math.max(remaining + 45.0, 40.0)
           else if (slots == 2)
-            best.get((8, sites)).map(t8 => math.min(deadline0,
-              math.max(4.6 * t8._2, 45.0))).getOrElse(deadline0)
+            t2DeadlineCap(deadline0, best.get((8, sites)).map(_._2))
           else deadline0
         measureSeq += 1
         val group = s"bench-$measureSeq-s$slots-n$sites"
@@ -443,11 +466,7 @@ object Bench {
         while (escalate) {
           val perSite = (est(8, cur) + est(2, cur)) * 1.1 / cur
           val affordable = (0.6 * crawlRem / perSite).toInt
-          // round the COMPUTED candidate to a 50-multiple, then cap at
-          // the env scale — flooring after the min made a non-50-multiple
-          // env cap unreachable (r5 ADVICE)
-          val next = math.min(scale,
-            math.min((2.5 * cur).toInt, affordable) / 50 * 50)
+          val next = nextEscalationScale(scale, cur, affordable)
           if (next >= (1.5 * cur).toInt &&
               best.contains((8, cur)) && best.contains((2, cur))) {
             measure(8, next)

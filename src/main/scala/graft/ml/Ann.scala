@@ -136,12 +136,23 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qsk", sketchUdf(col("qvec")))
     // prefilter: (id, sketch) only — no vector column anywhere below the
-    // Hamming radius filter (MlSpec pins this on the plan)
+    // Hamming radius filter (MlSpec pins this on the plan). The width
+    // guard makes a sketchBits-mismatched stored index fail LOUDLY on
+    // first use: without it `zip_with` pads the shorter sketch with
+    // nulls, the Hamming sum goes null, the radius filter drops every
+    // row, and a wrong index returns an EMPTY result instead of an
+    // error. Guarding inside the hamming expression (not a separate
+    // conjunct) survives Catalyst predicate reordering.
+    val words = sketchBits / 64
     val inRadius = idx.crossJoin(broadcast(q.select("query_id", "qsk")))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(csk, qsk, (x, y) -> bit_count(x ^ y)), " +
-          "0, (acc, h) -> acc + h)"))
+      .withColumn("hamming",
+        when(size(col("csk")) === lit(words), expr(
+          "aggregate(zip_with(csk, qsk, (x, y) -> bit_count(x ^ y)), " +
+            "0, (acc, h) -> acc + h)"))
+          .otherwise(raise_error(concat(
+            lit(s"sketch index width mismatch: expected $words words " +
+              s"(sketchBits=$sketchBits), got "), size(col("csk"))))))
       .filter(col("hamming") <= threshold)
       .select("query_id", "neighbor_id")
     val scored = inRadius

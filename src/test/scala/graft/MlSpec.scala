@@ -500,6 +500,24 @@ class MlSpec extends AnyFunSuite {
       "index-path sketchTopK must recover brute exactly on this corpus")
   }
 
+  test("sketch-ANN: width-mismatched stored index fails loudly, not empty") {
+    // without the in-expression guard, zip_with pads the narrower sketch
+    // with nulls, the Hamming sum goes null, the radius filter drops
+    // every row, and a wrong stored index silently returns EMPTY
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+    val narrow = Ann.sketchIndex(emb, "vec_id", "embedding",
+      sketchBits = 128)
+    val ex = intercept[Throwable] {
+      Ann.sketchTopK(emb, queries, "vec_id", "embedding", k = 3,
+        index = Some(narrow)).count()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("width mismatch"),
+      s"expected a loud width-mismatch error, got: $chain")
+  }
+
   test("ANN sketch-radius default holds at sf0.1 too (corpus-drift pin)") {
     // r5 VERDICT #3: the shipped 0.46 Hamming fraction was evidenced on
     // the sf0.01 distribution only. Same recall/scored-fraction bars at

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-level profiling for the expensive composite queries
+  * (q17/q25/q27 internals) — measurement tooling for the optimization
+  * rounds, not part of the driver contract. */
+object ProbeStages {
+
+  private def t[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val out = body
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("q25")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docsHalf: DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val planted = base.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      base.unionByName(planted)
+    }
+
+    what match {
+      case "q25stages" =>
+        // replicate exactJaccardPairs internals with per-stage timing
+        val n = 3; val threshold = 0.6
+        val gramsUdf = udf((s: String) => graft.ml.TextKit.charNgramHashes(s, n))
+        val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
+          graft.ml.TextKit.jaccardSorted(a, b))
+        val docs = t("grams checkpoint") {
+          docsHalf.select(col("doc_id").as("id"),
+            sort_array(gramsUdf(col("text"))).as("g"))
+            .localCheckpoint(true)
+        }
+        println("docs: " + docs.count())
+        val exploded = docs.select(col("id"), size(col("g")).as("glen"),
+          explode(col("g")).as("gram"))
+        val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("gram_df"), col("gram"))
+        val prefix = exploded.join(freq, Seq("gram"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <=
+            col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
+          .select("id", "gram")
+        val indexed = t("prefix index checkpoint") {
+          prefix.unionByName(docs.filter(size(col("g")) === 0)
+            .select(col("id"), lit(Long.MinValue).as("gram")))
+            .localCheckpoint(true)
+        }
+        println("indexed rows: " + t("index count")(indexed.count()))
+        val candidates = indexed.select(col("gram"), col("id").as("id_a"))
+          .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val cand = t("candidates checkpoint") { candidates.localCheckpoint(true) }
+        println("candidates: " + cand.count())
+        val pairs = cand
+          .join(docs.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+          .join(docs.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+          .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b")
+        val p = t("verify checkpoint") { pairs.localCheckpoint(true) }
+        println("pairs: " + p.count())
+        // CC timing
+        val nodes = docsHalf.select(col("doc_id").as("id"))
+        t("cc neighbor-min") {
+          val r = graft.ml.Dedup.connectedComponents(nodes, p)
+          println("cc rows: " + r.count())
+        }
+        t("cc star") {
+          val r = graft.ml.Dedup.connectedComponentsStar(nodes, p)
+          println("cc star rows: " + r.count())
+        }
+
+      case "ccstages" =>
+        // per-round timing of the neighbor-min CC loop over the q25 edges
+        val nodes = docsHalf.select(col("doc_id").as("id"))
+        val edges = t("edges (exactJaccardPairs)") {
+          graft.ml.Dedup.exactJaccardPairs(docsHalf, "doc_id", "text", 3, 0.6)
+        }
+        println("edges: " + edges.count())
+        val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(
+            edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint(true)
+        var labels = nodes.select(col("id"), col("id").as("component"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          val t0 = System.nanoTime()
+          val neighborMin = und
+            .join(labels.select(col("id").as("dst"),
+              col("component").as("ncomp")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min(col("ncomp")).as("nmin"))
+          val obs = org.apache.spark.sql.Observation()
+          labels = labels.join(neighborMin, Seq("id"), "left")
+            .withColumn("next",
+              least(col("component"), coalesce(col("nmin"), col("component"))))
+            .observe(obs, sum(when(col("next") < col("component"), 1L)
+              .otherwise(0L)).as("changed"))
+            .select(col("id"), col("next").as("component"))
+            .localCheckpoint(true)
+          changed = obs.get("changed").asInstanceOf[Long]
+          iter += 1
+          println(f"[probe] cc round $iter: ${(System.nanoTime() - t0) / 1e9}%.2fs changed=$changed")
+        }
+
+      case "fetchpath" =>
+        // per-URL cost of each layer of the fetch+parse path, on plain
+        // threads (no Spark): internet.get vs fetchOne vs full
+        // CrawlLoop.fetchAndParse row work
+        import graft.fetch.{FetchClient, SyntheticConfig, SyntheticInternet}
+        import graft.model.FetchRequest
+        val sites = args.lift(1).map(_.toInt).getOrElse(250)
+        val threads = args.lift(2).map(_.toInt).getOrElse(8)
+        val internet = SyntheticInternet(SyntheticConfig(
+          seed = 42L, nSites = sites, pagesPerSite = 60, imagesPerSite = 2,
+          itemsPerFeed = 3, bodyParagraphs = 60))
+        val cfg = graft.crawl.CrawlConfig(maxBatches = 2, perHostBudget = 100,
+          fetchPartitions = threads, useBloom = true, bloomRanges = 16,
+          emitCrawlSeq = false, robotsCacheSize = math.max(1024, 2 * sites))
+        val urls = (0 until sites).flatMap { s =>
+          (0 until 60).map(p => s"https://site-$s.test/page/$p") ++
+            (0 until 2).map(i => s"https://site-$s.test/img/img$i.png")
+        }
+        def onThreads(name: String)(f: String => Unit): Unit = {
+          // JIT warm
+          urls.take(2000).foreach(f)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          val t0 = System.nanoTime()
+          urls.foreach(u => pool.submit(new Runnable { def run(): Unit = f(u) }))
+          pool.shutdown()
+          pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] $name: $sec%.2fs (${urls.size / sec}%.0f urls/s)")
+        }
+        onThreads("internet.get")(u => { internet.get(u); () })
+        onThreads("fetchOne") { u =>
+          val req = FetchRequest.default(u).copy(timeoutS = cfg.timeoutS,
+            userAgent = cfg.userAgent)
+          FetchClient.fetchOne(req, internet); ()
+        }
+        onThreads("fetchAndParse-row") { u =>
+          val host = graft.url.UrlKit.domainOnly(u).getOrElse("")
+          graft.crawl.CrawlLoop.fetchAndParse(
+            Iterator((u, 0L, host, 0L, 0L)), internet, cfg).foreach(_ => ())
+        }
+
+      case "q17stages" =>
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val planted = base.orderBy("doc_id").limit(3)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .withColumn("text", concat(col("text"), lit(" appended")))
+        val all = base.unionByName(planted)
+        val out = t("exactJaccardPairs total") {
+          val r = graft.ml.Dedup.exactJaccardPairs(all, "doc_id", "text",
+            3, 0.6)
+          r.count()
+        }
+        println("pairs: " + out)
+    }
+    spark.stop()
+  }
+}

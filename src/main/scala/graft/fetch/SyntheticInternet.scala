@@ -50,11 +50,13 @@ final case class SyntheticInternet(config: SyntheticConfig) extends Serializable
   import ImageKit.mix
 
   private def textResponse(status: Int, contentType: String,
-      text: String): SyntheticResponse =
+      text: String): SyntheticResponse = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8) // encode ONCE
     SyntheticResponse(status,
       Map("Content-Type" -> contentType,
-        "Content-Length" -> text.getBytes(StandardCharsets.UTF_8).length.toString),
-      text.getBytes(StandardCharsets.UTF_8), Some(text))
+        "Content-Length" -> bytes.length.toString),
+      bytes, Some(text))
+  }
 
   /** The oracle. Unknown URLs → 404. */
   def get(url: String): SyntheticResponse = {

@@ -17,16 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  def dot(a: Seq[Float], b: Seq[Float]): Double = {
+  // Array[Float] (not Seq[Float]) throughout: the UDF boundary then
+  // deserializes each vector as one primitive-array copy instead of
+  // boxing every element (guide §4) — these UDFs run once per scored
+  // candidate pair, the hot path of all three ANN variants.
+  def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
-  def norm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
     val na = norm(a); val nb = norm(b)
     if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
   }
@@ -34,7 +38,7 @@ object Ann {
   /** Cosine floored to 6 decimals — stable rank keys, reproducible across
     * engines (floor has no half-rounding mode; DuckDB mirrors it exactly
     * for the q18 oracle). */
-  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+  val cosineUdf = udf((a: Array[Float], b: Array[Float]) =>
     math.floor(cosine(a, b) * 1e6) / 1e6)
 
   /** Brute-force top-k: every (query, row) pair scored; deterministic
@@ -62,14 +66,14 @@ object Ann {
     * here). Falls back to an unfiltered top-k only when the corpus is too
     * small for the prefilter to yield `nCells` rows. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, sampleMod: Int = 64): Array[(Int, Seq[Float])] = {
+      nCells: Int, sampleMod: Int = 64): Array[(Int, Array[Float])] = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("h", xxhash64(col("id")))
     def topK(df: DataFrame) =
       df.orderBy(col("h"), col("id")).limit(nCells).collect()
     val sampled = topK(base.filter(pmod(col("h"), lit(sampleMod)) === 0))
     val rows = if (sampled.length >= nCells) sampled else topK(base)
-    rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    rows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
   }
 
   /** The `sketchBits`-bit random-hyperplane sign sketch as an array of
@@ -79,7 +83,7 @@ object Ann {
   private def sketchUdfOf(sketchBits: Int) = {
     require(sketchBits % 64 == 0, "sketchBits must be a multiple of 64")
     val words = sketchBits / 64
-    udf { (v: Seq[Float]) =>
+    udf { (v: Array[Float]) =>
       val d = new Array[Double](v.length)
       var i = 0
       while (i < d.length) { d(i) = v(i).toDouble; i += 1 }
@@ -179,9 +183,9 @@ object Ann {
     val cents = centroids(corpus, idCol, vecCol, nCells)
     val centsBc = spark.sparkContext.broadcast(cents)
 
-    val cellOf = udf((v: Seq[Float]) =>
+    val cellOf = udf((v: Array[Float]) =>
       centsBc.value.minBy { case (i, c) => (-cosine(v, c), i) }._1)
-    val probeCells = udf((v: Seq[Float]) =>
+    val probeCells = udf((v: Array[Float]) =>
       centsBc.value.sortBy { case (i, c) => (-cosine(v, c), i) }
         .take(nProbe).map(_._1))
 

@@ -54,8 +54,13 @@ object Dedup {
     }.toArray
   }
 
-  val bandHashesUdf = udf((sig: Seq[Long], bands: Int) =>
-    bandHashes(sig.toArray, bands))
+  // Array[Long] (not Seq[Long]) parameters: the UDF input converter for
+  // a primitive array is one bulk `toLongArray` copy, while Seq[Long]
+  // boxes every element — on the verify hot paths (millions of pairs ×
+  // hundreds of elements) the boxing was the dominant allocation cost
+  // (guide §4: keep the expression boundary cheap).
+  val bandHashesUdf = udf((sig: Array[Long], bands: Int) =>
+    bandHashes(sig, bands))
 
   /** Per-call handle on the dropped-degenerate-bucket metrics of one
     * dedup query: resolved as soon as the query's bucket-key checkpoint
@@ -176,17 +181,28 @@ object Dedup {
     * joins back only for the (rare) candidate rows. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, bands: Int = 16): DataFrame = {
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // verify on per-DOC sorted shingle-hash arrays, not per-PAIR text:
+    // the old jaccardUdf re-tokenized both texts for every candidate
+    // pair (O(pairs × text) tokenize work and full text strings through
+    // the candidate join); shingling is per-doc here and the per-pair
+    // work is one primitive-array merge (same |∩|/|∪| arithmetic —
+    // jaccardSorted over the sorted distinct hash sets ≡ jaccard over
+    // the hash sets). Guide §2.3: shuffle/evaluate proxies, not payloads.
+    val shingleUdf = udf((t: String) => {
+      val a = TextKit.wordShingleHashes(t, 3)
+      java.util.Arrays.sort(a); a
+    })
+    val shingles = df.select(col(idCol).as("id"),
+      shingleUdf(col(textCol)).as("sh"))
     val candidates = lshCandidatePairs(df, idCol, textCol, bands)
-    val jaccardUdf = udf((a: String, b: String) =>
-      TextKit.jaccard(TextKit.wordShingleHashes(a, 3),
-        TextKit.wordShingleHashes(b, 3)))
+    val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
+      TextKit.jaccardSorted(a, b))
     candidates
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("text", "text_a"), Seq("id_a"))
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("text", "text_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("text_a"), col("text_b")))
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -289,35 +305,58 @@ object Dedup {
     * (id, component = min id in the component). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // the src semi-join preserves the old contract exactly: an edge
+    // endpoint absent from `nodes` contributes nothing and never appears
+    // in the output (the old per-round join-into-labels dropped such
+    // rows implicitly; the union form below would otherwise mint them)
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
       .localCheckpoint(true)
+    // label sums are the convergence signal: neighbor-min labels only
+    // ever DECREASE, so the exact-decimal sum is strictly monotone and
+    // "sum unchanged" ⟺ "no label changed" — the check rides each
+    // round's own checkpoint job as an observed metric, replacing the
+    // old old-vs-new label join (one join per round removed; round 7
+    // guide §2.4). Decimal, not long: a 10^10-node id space overflows a
+    // 64-bit sum.
+    def labelSum(v: Option[Any]): java.math.BigDecimal = v match {
+      case Some(d: java.math.BigDecimal) => d
+      case _ => java.math.BigDecimal.ZERO // empty frame: sum is null
+    }
+    val obs0 = org.apache.spark.sql.Observation()
     var labels = nodes.select(col("id"), col("id").as("component"))
+      .observe(obs0,
+        sum(col("component").cast("decimal(38,0)")).as("lsum"))
       .localCheckpoint(true)
-    var changed = 1L
+    var prevSum = labelSum(obs0.get.get("lsum"))
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = und
+    while (changed && iter < maxIter) {
+      // next label = min(own, min over neighbors) — computed as ONE
+      // aggregation over (own contribution ∪ neighbor contributions)
+      // instead of the old groupBy + two joins: same labels per round,
+      // one fewer shuffle and no left-join
+      val contributions = labels.unionByName(und
         .join(labels.select(col("id").as("dst"),
           col("component").as("ncomp")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncomp")).as("nmin"))
+        .select(col("src").as("id"), col("ncomp").as("component")))
       val obs = org.apache.spark.sql.Observation()
       val prev = labels
-      labels = labels.join(neighborMin, Seq("id"), "left")
-        .withColumn("next",
-          least(col("component"), coalesce(col("nmin"), col("component"))))
-        .observe(obs, sum(when(col("next") < col("component"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select(col("id"), col("next").as("component"))
+      labels = contributions
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .observe(obs,
+          sum(col("component").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint(true)
       uncheckpoint(prev)
-      changed = obs.get("changed").asInstanceOf[Long]
+      val s = labelSum(obs.get.get("lsum"))
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       iter += 1
     }
     uncheckpoint(und)
-    if (changed > 0)
+    if (changed)
       // fail LOUDLY (ADVICE r3: a println left silently-wrong labels on
       // chain-shaped clusters): unconverged neighbor-min labels are not
       // component ids, and the caller chose the wrong algorithm
@@ -457,9 +496,8 @@ object Dedup {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  val signSketchUdf = udf((v: Seq[Double]) => signSketch(v.toArray))
-  val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) =>
-    cosine(a.toArray, b.toArray))
+  val signSketchUdf = udf((v: Array[Double]) => signSketch(v))
+  val cosineUdf = udf((a: Array[Double], b: Array[Double]) => cosine(a, b))
 
   /** Embedding-cosine near-duplicate pairs: sign sketch per row (one map
     * pass), 4 × 16-bit chunk blocking like SimHash (duplicates and
@@ -517,8 +555,12 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val gramsUdf = udf((t: String) => TextKit.charNgramHashes(t, n))
-    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      TextKit.jaccardSorted(a.toArray, b.toArray))
+    // Array[Long] args: bulk primitive-array deserialization, no per-
+    // element boxing — this UDF runs once per candidate pair and the
+    // candidate set tracks corpus density (can approach all-pairs on a
+    // dense near-dup corpus), so the boundary cost is the hot path
+    val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
+      TextKit.jaccardSorted(a, b))
     // (id, sorted grams) is referenced five times (frequency pass,
     // prefix pass, the no-gram branch, both verify sides) and Spark
     // shares no subtrees across references — materialize the

@@ -100,7 +100,25 @@ object HtmlScanner {
     }
   }
 
+  /** One-entry per-thread memo of the last parse, keyed by String
+    * IDENTITY (`eq`, never `equals` — no scan of the text). The fetch
+    * path parses the same page text twice on the same partition thread —
+    * once for the charset sniff inside the fetch client (X14), once for
+    * page recognition — and the identical String instance flows between
+    * the two, so this turns the second full tag scan into a hit. Pure
+    * function + identity key ⇒ no semantic risk; holds at most one
+    * (text, doc) pair per live thread. */
+  private val lastParse = new ThreadLocal[(String, Doc)]
+
   def parse(source: String): Doc = {
+    val cached = lastParse.get()
+    if (cached != null && (cached._1 eq source)) return cached._2
+    val doc = doParse(source)
+    lastParse.set((source, doc))
+    doc
+  }
+
+  private def doParse(source: String): Doc = {
     val tags = Vector.newBuilder[Tag]
     val n = source.length
     var i = 0

@@ -41,8 +41,15 @@ object Frontier {
     rawLinks
       .withColumn("url", expr("url_admit(url)"))
       .filter(col("url").isNotNull)
-      .dropDuplicates("url")
+      // hash BEFORE the dedup and dedup on (url_hash, url): url_hash is
+      // a pure function of url, so the distinct set is unchanged — but
+      // the dedup's exchange is now keyed exactly like every downstream
+      // seen-set/redirect anti-join (url_hash, url), so those joins
+      // reuse this partitioning instead of re-shuffling the candidate
+      // links (guide §2.4: two operations keyed the same way share one
+      // exchange)
       .withColumn("url_hash", xxhash64(col("url")))
+      .dropDuplicates("url_hash", "url")
       .withColumn("host", expr("url_domain_only(url)"))
       .withColumn("host_hash", xxhash64(col("host")))
       .withColumn("host_hash_salted",

@@ -129,7 +129,16 @@ object Ann {
     * deterministic function of (sketchBits, hammingFraction) — no
     * data-dependent quantile pass, so results replay exactly. Queries
     * broadcast like [[bruteForceTopK]]; block the query set for query
-    * volumes beyond broadcast size. */
+    * volumes beyond broadcast size.
+    *
+    * Stored-index contract (r6 ADVICE): a persisted index must be built
+    * from the SAME corpus snapshot that is passed here. Width mismatches
+    * fail loudly (below), but an index whose id space has drifted from
+    * the corpus (stale index after a corpus rewrite) silently drops the
+    * missing ids at the vector join-back and returns quietly incomplete
+    * top-k — rebuild the index with the corpus, or anti-join
+    * `index.neighbor_id` against the corpus ids as a consistency check
+    * before serving. */
   def sketchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, sketchBits: Int = 768,
       hammingFraction: Double = 0.46,

@@ -123,7 +123,17 @@ object Dedup {
     * functions below are therefore EAGER: the candidate/verify work runs
     * at call time, the returned frame is a materialized id-pair table
     * (true-pair volume — tiny next to any intermediate), and the only
-    * storage that outlives the call is that result. */
+    * storage that outlives the call is that result.
+    *
+    * Cluster caveats (r6 ADVICE, applies to every `*Pairs` API below):
+    * (a) the returned frame is a LINEAGE-TRUNCATED localCheckpoint — on
+    * a real cluster, losing an executor that held its blocks makes the
+    * result unrecoverable (re-call the function) rather than
+    * recomputable; a deployment that needs fault-tolerant pair tables
+    * should write the result out and read it back instead of holding
+    * the returned frame. (b) eagerness means the full candidate/verify
+    * cost is paid at call time even if the caller never consumes the
+    * result. */
   private def materializeAndRelease(pairs: DataFrame,
       intermediates: DataFrame*): DataFrame = {
     val out = pairs.localCheckpoint(true)

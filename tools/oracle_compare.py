@@ -9,7 +9,9 @@ dumps. Driver-side tooling only (python/duckdb are not available to the
 library itself).
 
 Known artifact: q08 timestamps stringify tz-aware here but tz-naive in
-the Spark dump; the real driver hashes it green — treated as ok.
+the Spark dump; the real driver hashes it green. Handled by NORMALIZING
+timestamp columns to tz-naive before comparing (r6 ADVICE: the old
+blanket q08 waiver would have passed a genuine value regression).
 """
 import duckdb, json, sys
 
@@ -31,6 +33,13 @@ for name, sql in sorted(oracle.items()):
         ).fetchdf()
         o = o.reindex(sorted(o.columns), axis=1)
         s = s.reindex(sorted(s.columns), axis=1)
+        # normalize tz-aware timestamps to naive so both engines
+        # stringify identically; any residual q08 diff now FAILS
+        for df in (o, s):
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64") and \
+                        getattr(df[c].dt, "tz", None) is not None:
+                    df[c] = df[c].dt.tz_localize(None)
         if len(o) != len(s):
             print(f"{name}: ROWS {len(s)} vs {len(o)}")
             bad += 1
@@ -39,11 +48,10 @@ for name, sql in sorted(oracle.items()):
         sh = sorted(map(str, s.itertuples(index=False, name=None)))
         if oh == sh:
             ok += 1
-        elif name == "q08_time_bucket":
-            print(f"{name}: value-string diff (known tz stringify artifact)")
-            ok += 1
         else:
             print(f"{name}: HASH MISMATCH")
+            print(f"  spark:  {sh[:2]}")
+            print(f"  oracle: {oh[:2]}")
             bad += 1
     except Exception as e:
         print(f"{name}: ERR {e}")

@@ -92,6 +92,64 @@ object ProbeStages {
           println("cc star rows: " + r.count())
         }
 
+      case "innerplans" =>
+        // formatted plans of the INTERNAL stages the optimization round
+        // touched — the eager pair/CC operators return checkpoint scans,
+        // so their load-bearing plans are these subtrees (committed as
+        // plans/r07 evidence alongside the *_before/_after.txt files)
+        import org.apache.spark.sql.execution.ExplainMode
+        val outDir = args.lift(1).getOrElse("/root/repo/plans/r07")
+        val suffix = args.lift(2).getOrElse("after")
+        new java.io.File(outDir).mkdirs()
+        def dump(name: String, df: DataFrame): Unit = {
+          val w = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt")
+          try w.println(df.queryExecution
+            .explainString(ExplainMode.fromString("formatted")))
+          finally w.close()
+          System.err.println(s"[probe] wrote $outDir/${name}_$suffix.txt")
+        }
+        // (a) one neighbor-min CC round: union + single groupBy(min),
+        //     convergence sum as CollectMetrics on the same subtree
+        val und0 = spark.range(2).selectExpr("id AS src", "id + 1 AS dst")
+        val labels0 = spark.range(3).selectExpr("id", "id AS component")
+        val contributions = labels0.unionByName(und0
+          .join(labels0.select(col("id").as("dst"),
+            col("component").as("ncomp")), Seq("dst"))
+          .select(col("src").as("id"), col("ncomp").as("component")))
+        dump("cc_round_shape", contributions
+          .groupBy("id").agg(min(col("component")).as("component")))
+        // (b) the exact-Jaccard verify join over the real sf corpus:
+        //     candidates stream against the gram table, UDF on primitive
+        //     arrays — shows the join/UDF shape that dominates q17/q25/q27
+        val gramsUdf = udf((s: String) => graft.ml.TextKit.charNgramHashes(s, 3))
+        val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
+          graft.ml.TextKit.jaccardSorted(a, b))
+        val docs2 = docsHalf.select(col("doc_id").as("id"),
+          sort_array(gramsUdf(col("text"))).as("g"))
+        val cand2 = docs2.select(col("id").as("id_a"))
+          .crossJoin(docs2.select(col("id").as("id_b")))
+          .filter(col("id_a") < col("id_b")).limit(10)
+        dump("jaccard_verify_shape", cand2
+          .join(docs2.select(col("id").as("id_a"), col("g").as("g_a")),
+            Seq("id_a"))
+          .join(docs2.select(col("id").as("id_b"), col("g").as("g_b")),
+            Seq("id_b"))
+          .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
+          .filter(col("jaccard") >= 0.6)
+          .select("id_a", "id_b"))
+        // (c) admit-dedup exchange reuse: the (url_hash, url)-keyed
+        //     dedup aggregation feeds the (url_hash, url) anti-join with
+        //     no second Exchange on the candidate side
+        val raw = spark.range(1000).selectExpr(
+          "concat('https://site-', id % 50, '.test/page/', id) AS url")
+        val seen = spark.range(100).selectExpr(
+          "concat('https://site-', id % 50, '.test/page/', id) AS url")
+          .withColumn("url_hash", xxhash64(col("url")))
+        val admitted = graft.frontier.Frontier.admit(raw, lit(1),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 4)
+        dump("admit_dedup_antijoin",
+          graft.frontier.SeenSet.filterNewExact(admitted, seen))
+
       case "ccstages" =>
         // per-round timing of the neighbor-min CC loop over the q25 edges
         val nodes = docsHalf.select(col("doc_id").as("id"))

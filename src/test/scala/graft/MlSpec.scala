@@ -235,6 +235,40 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("neighbor-min CC ignores edge endpoints absent from nodes (r7)") {
+    import spark.implicits._
+    // r7 rewrote the neighbor-min round as union + one aggregation; the
+    // old per-round join-into-labels implicitly dropped edge endpoints
+    // that are not nodes, and the new explicit semi-join guard must
+    // preserve that contract: no minted output rows, no label pulled
+    // from a phantom endpoint's id
+    val nodes = Seq(5L, 6L, 7L).toDF("id")
+    // 99 is not a node; 1 is not a node but would win every min
+    val edges = Seq((5L, 6L), (6L, 99L), (1L, 7L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet == Set(5L, 6L, 7L))
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    // 7's only edge goes to the phantom node 1 — it must stay its own
+    // component, not adopt 1 as a label
+    assert(comp(7L) == 7L)
+  }
+
+  test("shingle-array verify equals text-pair jaccard (r7 q15 verify)") {
+    // r7 moved nearDuplicatePairs' verify from per-pair re-tokenization
+    // to per-doc sorted shingle arrays — pin the arithmetic equivalence
+    // on real doc pairs, including the empty/short-text edges
+    val texts = Seq(docA, docB, docC, "", "one", "one two three")
+    for (a <- texts; b <- texts) {
+      val viaSets = TextKit.jaccard(
+        TextKit.wordShingleHashes(a, 3), TextKit.wordShingleHashes(b, 3))
+      val sa = TextKit.wordShingleHashes(a, 3); java.util.Arrays.sort(sa)
+      val sb = TextKit.wordShingleHashes(b, 3); java.util.Arrays.sort(sb)
+      assert(TextKit.jaccardSorted(sa, sb) == viaSets,
+        s"jaccard mismatch for ($a, $b)")
+    }
+  }
+
   test("high-diameter path: neighbor-min fails loudly, star converges") {
     import spark.implicits._
     // a 120-node path — diameter 119 exceeds neighbor-min's default 25

@@ -41,13 +41,21 @@ object ProbeStages {
     what match {
       case "q25stages" =>
         // replicate exactJaccardPairs internals with per-stage timing
+        // (kept in sync with Dedup.exactJaccardPairs: UDF-side sort,
+        // threshold early-exit verify); two reps — rep 2 is the warm
+        // (JIT-settled) number
+        for (rep <- 1 to 2) {
+        println(s"=== rep $rep ===")
         val n = 3; val threshold = 0.6
-        val gramsUdf = udf((s: String) => graft.ml.TextKit.charNgramHashes(s, n))
+        val gramsUdf = udf((s: String) => {
+          val a = graft.ml.TextKit.charNgramHashes(s, n)
+          java.util.Arrays.sort(a); a
+        })
         val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
-          graft.ml.TextKit.jaccardSorted(a, b))
+          graft.ml.TextKit.jaccardSortedAtLeast(a, b, threshold))
         val docs = t("grams checkpoint") {
           docsHalf.select(col("doc_id").as("id"),
-            sort_array(gramsUdf(col("text"))).as("g"))
+            gramsUdf(col("text")).as("g"))
             .localCheckpoint(true)
         }
         println("docs: " + docs.count())
@@ -67,12 +75,26 @@ object ProbeStages {
             .localCheckpoint(true)
         }
         println("indexed rows: " + t("index count")(indexed.count()))
-        val candidates = indexed.select(col("gram"), col("id").as("id_a"))
+        if (rep == 1) {
+          val raw = indexed.select(col("gram"), col("id").as("id_a"))
+            .join(indexed.select(col("gram"), col("id").as("id_b")),
+              Seq("gram"))
+            .filter(col("id_a") < col("id_b"))
+          println("raw candidates (pre-distinct): " +
+            t("raw candidate count")(raw.count()))
+        }
+        val numShuffle =
+          spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val candidates = indexed.repartition(numShuffle, col("id"))
+          .select(col("gram"), col("id").as("id_a"))
           .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
         val cand = t("candidates checkpoint") { candidates.localCheckpoint(true) }
         println("candidates: " + cand.count())
+        println("partitions docs=" + docs.rdd.getNumPartitions +
+          " indexed=" + indexed.rdd.getNumPartitions +
+          " cand=" + cand.rdd.getNumPartitions)
         val pairs = cand
           .join(docs.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
           .join(docs.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
@@ -91,6 +113,69 @@ object ProbeStages {
           val r = graft.ml.Dedup.connectedComponentsStar(nodes, p)
           println("cc star rows: " + r.count())
         }
+        }
+
+      case "candplan" =>
+        // final (post-AQE) physical plan of the q17/q25/q27 candidate
+        // stage — join strategy and partition counts after coalescing
+        val n = 3; val threshold = 0.6
+        val gramsUdf = udf((s: String) => {
+          val a = graft.ml.TextKit.charNgramHashes(s, n)
+          java.util.Arrays.sort(a); a
+        })
+        val docs = docsHalf.select(col("doc_id").as("id"),
+          gramsUdf(col("text")).as("g"))
+          .localCheckpoint(true)
+        val exploded0 = docs.select(col("id"), size(col("g")).as("glen"),
+          explode(col("g")).as("gram"))
+        val freq0 = exploded0.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        val w0 = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("gram_df"), col("gram"))
+        val prefix0 = exploded0.join(freq0, Seq("gram"))
+          .withColumn("rn", row_number().over(w0))
+          .filter(col("rn") <=
+            col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
+          .select("id", "gram")
+        val indexed0 = prefix0.unionByName(docs.filter(size(col("g")) === 0)
+          .select(col("id"), lit(Long.MinValue).as("gram")))
+          .localCheckpoint(true)
+        def candsOf(probe: DataFrame) =
+          probe.select(col("gram"), col("id").as("id_a"))
+            .join(indexed0.select(col("gram"), col("id").as("id_b")),
+              Seq("gram"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan,
+            depth: Int): Unit = {
+          val m = p.metrics.map { case (k, v) =>
+            s"$k=${v.value}"
+          }.mkString(", ")
+          println(("  " * depth) + p.nodeName + "  [" + m + "]")
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => walk(q.plan, depth + 1)
+            case r: org.apache.spark.sql.execution.adaptive
+                .AQEShuffleReadExec => r.children.foreach(walk(_, depth + 1))
+            case other => other.children.foreach(walk(_, depth + 1))
+          }
+        }
+        val dp = spark.sparkContext.defaultParallelism
+        for (variant <- Seq("plain", "spreadid", "plain2", "spreadid2")) {
+          val probe =
+            if (variant.startsWith("spreadid"))
+              indexed0.repartition(dp, col("id"))
+            else indexed0
+          val c = candsOf(probe)
+          val q = c.queryExecution
+          t(s"candidates action [$variant]") {
+            q.toRdd.foreachPartition(it => it.foreach(_ => ()))
+          }
+          println(s"=== [$variant] plan with runtime metrics ===")
+          walk(q.executedPlan, 0)
+        }
+        println("indexed partitions: " + indexed0.rdd.getNumPartitions)
 
       case "innerplans" =>
         // formatted plans of the INTERNAL stages the optimization round
@@ -118,24 +203,52 @@ object ProbeStages {
           .select(col("src").as("id"), col("ncomp").as("component")))
         dump("cc_round_shape", contributions
           .groupBy("id").agg(min(col("component")).as("component")))
-        // (b) the exact-Jaccard verify join over the real sf corpus:
-        //     candidates stream against the gram table, UDF on primitive
-        //     arrays — shows the join/UDF shape that dominates q17/q25/q27
-        val gramsUdf = udf((s: String) => graft.ml.TextKit.charNgramHashes(s, 3))
+        // (b) the exact-Jaccard candidate+verify pipeline over the real
+        //     sf corpus EXACTLY as Dedup.exactJaccardPairs builds it
+        //     (from its two checkpoints): the only Exchange is the
+        //     explicit probe-side repartition by id — candidate
+        //     generation, the dedup aggregation and both (broadcast)
+        //     verify joins ride ONE stage, because HashPartitioning(id)
+        //     propagates through the broadcast join and satisfies the
+        //     distinct's ClusteredDistribution(id_a, id_b)
+        val n2 = 3; val t2 = 0.6
+        val gramsUdf = udf((s: String) => {
+          val a = graft.ml.TextKit.charNgramHashes(s, n2)
+          java.util.Arrays.sort(a); a
+        })
         val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
-          graft.ml.TextKit.jaccardSorted(a, b))
+          graft.ml.TextKit.jaccardSortedAtLeast(a, b, t2))
         val docs2 = docsHalf.select(col("doc_id").as("id"),
-          sort_array(gramsUdf(col("text"))).as("g"))
-        val cand2 = docs2.select(col("id").as("id_a"))
-          .crossJoin(docs2.select(col("id").as("id_b")))
-          .filter(col("id_a") < col("id_b")).limit(10)
+          gramsUdf(col("text")).as("g"))
+          .localCheckpoint(true)
+        val exploded2 = docs2.select(col("id"), size(col("g")).as("glen"),
+          explode(col("g")).as("gram"))
+        val freq2 = exploded2.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("gram_df"), col("gram"))
+        val prefix2 = exploded2.join(freq2, Seq("gram"))
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <=
+            col("glen") - ceil(lit(t2) * col("glen")).cast("int") + 1)
+          .select("id", "gram")
+        val indexed2 = prefix2.unionByName(docs2
+          .filter(size(col("g")) === 0)
+          .select(col("id"), lit(Long.MinValue).as("gram")))
+          .localCheckpoint(true)
+        val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val cand2 = indexed2.repartition(nShuf, col("id"))
+          .select(col("gram"), col("id").as("id_a"))
+          .join(indexed2.select(col("gram"), col("id").as("id_b")),
+            Seq("gram"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
         dump("jaccard_verify_shape", cand2
           .join(docs2.select(col("id").as("id_a"), col("g").as("g_a")),
             Seq("id_a"))
           .join(docs2.select(col("id").as("id_b"), col("g").as("g_b")),
             Seq("id_b"))
           .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
-          .filter(col("jaccard") >= 0.6)
+          .filter(col("jaccard") >= t2)
           .select("id_a", "id_b"))
         // (c) admit-dedup exchange reuse: the (url_hash, url)-keyed
         //     dedup aggregation feeds the (url_hash, url) anti-join with

@@ -141,6 +141,15 @@ object Dedup {
     out
   }
 
+  /** The planner's shuffle partition count — used as the EXPLICIT count
+    * when re-keying a candidate-join probe side by doc id, so AQE's
+    * byte-based coalescing cannot shrink those deliberately CPU-bound
+    * stages (their cost is pair emission + dedup, not input bytes). */
+  private def shufflePartitions(df: DataFrame): Int = try {
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  } catch { case scala.util.control.NonFatal(_) =>
+    df.sparkSession.sparkContext.defaultParallelism }
+
   private val lastBucketStats =
     new java.util.concurrent.ConcurrentHashMap[String, BucketStats]()
 
@@ -205,8 +214,11 @@ object Dedup {
     val shingles = df.select(col(idCol).as("id"),
       shingleUdf(col(textCol)).as("sh"))
     val candidates = lshCandidatePairs(df, idCol, textCol, bands)
+    // exact score for every surviving row, early merge exit (-1) for
+    // candidates provably below threshold — the >= threshold filter
+    // keeps identical rows and scores (see jaccardSortedAtLeast)
     val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
-      TextKit.jaccardSorted(a, b))
+      TextKit.jaccardSortedAtLeast(a, b, threshold))
     candidates
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
@@ -564,20 +576,29 @@ object Dedup {
     * n-grams is AQE-splittable. EAGER — see [[materializeAndRelease]]. */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val gramsUdf = udf((t: String) => TextKit.charNgramHashes(t, n))
+    // sort inside the UDF (primitive Arrays.sort), not via sort_array:
+    // SortArray routes a LongType array through a boxed-object
+    // comparator sort per row — same sorted output, no boxing
+    val gramsUdf = udf((t: String) => {
+      val a = TextKit.charNgramHashes(t, n)
+      java.util.Arrays.sort(a); a
+    })
     // Array[Long] args: bulk primitive-array deserialization, no per-
     // element boxing — this UDF runs once per candidate pair and the
     // candidate set tracks corpus density (can approach all-pairs on a
-    // dense near-dup corpus), so the boundary cost is the hot path
+    // dense near-dup corpus), so the boundary cost is the hot path.
+    // jaccardSortedAtLeast: exact score when >= threshold, -1 with an
+    // early merge exit when provably below — identical rows survive the
+    // >= threshold filter (see its Scaladoc for the boundary argument)
     val jacUdf = udf((a: Array[Long], b: Array[Long]) =>
-      TextKit.jaccardSorted(a, b))
+      TextKit.jaccardSortedAtLeast(a, b, threshold))
     // (id, sorted grams) is referenced five times (frequency pass,
     // prefix pass, the no-gram branch, both verify sides) and Spark
     // shares no subtrees across references — materialize the
     // tokenize+hash+sort work once. Standard tokenize-once trade: the
     // gram table is the thing every later stage keys on.
     val docs = df.select(col(idCol).as("id"),
-      sort_array(gramsUdf(col(textCol))).as("g"))
+      gramsUdf(col(textCol)).as("g"))
       .localCheckpoint(true)
     val exploded = docs.select(col("id"), size(col("g")).as("glen"),
       explode(col("g")).as("gram"))
@@ -596,7 +617,30 @@ object Dedup {
     val indexed = prefix.unionByName(docs.filter(size(col("g")) === 0)
       .select(col("id"), lit(Long.MinValue).as("gram")))
       .localCheckpoint(true)
-    val candidates = indexed.select(col("gram"), col("id").as("id_a"))
+    // Probe side re-keyed by doc id, with the explicit partition count
+    // the planner would otherwise give the candidate exchange (explicit,
+    // so AQE's byte-based coalescing cannot shrink this deliberately
+    // CPU-bound stage). Two effects, both load-bearing:
+    // (1) every duplicate of a candidate pair (one per shared prefix
+    //     gram — ~19× here) is generated in id_a's partition, so the
+    //     dedup aggregation is task-local; and
+    // (2) HashPartitioning(id) propagates through the broadcast join
+    //     (probe side) and SATISFIES the distinct's
+    //     ClusteredDistribution(id_a, id_b) — a subset of the keys
+    //     clusters them — so the candidate table, the largest dataflow
+    //     here (~19× the distinct pair count, ~corpus² on a dense
+    //     corpus), is NEVER exchanged: generation, dedup and the
+    //     (broadcast) verify joins run in ONE stage. The exchange this
+    //     repartition ADDS carries only the prefix index (16-byte
+    //     proxy rows), orders of magnitude smaller at every scale
+    //     (guide §2.4: two operations keyed the same way share one
+    //     exchange; measured here: candidate stage 6.0 s → 0.5 s).
+    // If the index ever outgrows broadcast and the planner picks a
+    // gram-keyed join instead, the id-partitioning is re-exchanged and
+    // the plan degrades to exactly the old shape plus one index-sized
+    // shuffle — never worse than before by more than that.
+    val candidates = indexed.repartition(shufflePartitions(df), col("id"))
+      .select(col("gram"), col("id").as("id_a"))
       .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

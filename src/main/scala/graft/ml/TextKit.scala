@@ -79,6 +79,43 @@ object TextKit {
     inter.toDouble / (a.length + b.length - inter)
   }
 
+  /** [[jaccardSorted]] with a threshold early-exit for verify filters:
+    * returns the exact Jaccard when the pair can still reach `t`, and
+    * -1.0 as soon as the remaining elements provably cannot — so under a
+    * `result >= t` filter the kept rows and their scores are identical
+    * to [[jaccardSorted]], while the merge stops early on the (majority)
+    * failing candidates.
+    *
+    * Exactness at the threshold boundary: `req` is the smallest
+    * intersection size whose Jaccard — computed with the SAME double
+    * division as the exact path — passes `>= t` (the ceil seed is
+    * adjusted against that exact expression, so float error in the seed
+    * cannot shift the boundary). IEEE division is correctly rounded and
+    * I/(|A|+|B|-I) is monotone in I, so "reachable intersection < req"
+    * implies the double the exact path would compute is < t. */
+  def jaccardSortedAtLeast(a: Array[Long], b: Array[Long], t: Double): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val la = a.length; val lb = b.length
+    val maxI = math.min(la, lb)
+    var req = math.ceil(t * (la + lb) / (1.0 + t)).toInt
+    if (req < 0) req = 0
+    while (req > 0 && (req - 1).toDouble / (la + lb - (req - 1)) >= t) req -= 1
+    while (req <= maxI && req.toDouble / (la + lb - req) < t) req += 1
+    if (req > maxI) return -1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val rem = if (la - i < lb - j) la - i else lb - j
+        if (inter + rem < req) return -1.0
+      }
+    }
+    inter.toDouble / (la + lb - inter)
+  }
+
   /** Exact Jaccard over two hash sets. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

@@ -269,6 +269,44 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardSortedAtLeast ≡ jaccardSorted under a >= t filter (r7)") {
+    // r7 gave the q17/q25/q27 verify an early merge exit; the contract
+    // is: exact score whenever the pair passes the filter, any value
+    // < t (here -1) when it provably cannot. Sweep randomized sorted
+    // arrays × thresholds, including each pair's own exact Jaccard as a
+    // threshold (the boundary where a rounding slip would flip a row).
+    val rnd = new scala.util.Random(7)
+    def sortedDistinct(n: Int, pool: Int): Array[Long] = {
+      val s = scala.collection.mutable.SortedSet[Long]()
+      while (s.size < n) s += rnd.nextInt(pool).toLong
+      s.toArray
+    }
+    val cases = (Seq.tabulate(40) { i =>
+      (sortedDistinct(1 + rnd.nextInt(60), 80),
+        sortedDistinct(1 + rnd.nextInt(60), 80))
+    } ++ Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      // exact-boundary pair: inter=3, union=5 → 3.0/5.0 == 0.6 in IEEE
+      (Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 5L))))
+    for ((a, b) <- cases) {
+      val exact = TextKit.jaccardSorted(a, b)
+      for (t <- Seq(0.0, 0.3, 0.5, 0.6, 0.8, 1.0, exact,
+          exact - 1e-12, exact + 1e-12)) {
+        val got = TextKit.jaccardSortedAtLeast(a, b, t)
+        if (exact >= t)
+          assert(got == exact,
+            s"passing pair must carry the exact score (t=$t, " +
+              s"exact=$exact, got=$got, |a|=${a.length}, |b|=${b.length})")
+        else
+          assert(got < t,
+            s"failing pair must stay below t (t=$t, exact=$exact, " +
+              s"got=$got)")
+      }
+    }
+  }
+
   test("high-diameter path: neighbor-min fails loudly, star converges") {
     import spark.implicits._
     // a 120-node path — diameter 119 exceeds neighbor-min's default 25

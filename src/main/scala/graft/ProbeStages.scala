@@ -68,27 +68,43 @@ object ProbeStages {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <=
             col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
-          .select("id", "gram")
+          .select("id", "gram", "rn", "glen")
         val indexed = t("prefix index checkpoint") {
           prefix.unionByName(docs.filter(size(col("g")) === 0)
-            .select(col("id"), lit(Long.MinValue).as("gram")))
+            .select(col("id"), lit(Long.MinValue).as("gram"),
+              lit(1).as("rn"), lit(0).as("glen")))
             .localCheckpoint(true)
         }
         println("indexed rows: " + t("index count")(indexed.count()))
-        if (rep == 1) {
-          val raw = indexed.select(col("gram"), col("id").as("id_a"))
-            .join(indexed.select(col("gram"), col("id").as("id_b")),
-              Seq("gram"))
+        val alpha = floor(lit(threshold / (1.0 + threshold)) *
+          (col("glen_a") + col("glen_b")))
+        def candSides(positional: Boolean) = {
+          val raw = indexed.select(col("gram"), col("id").as("id_a"),
+              col("rn").as("rn_a"), col("glen").as("glen_a"))
+            .join(indexed.select(col("gram"), col("id").as("id_b"),
+              col("rn").as("rn_b"), col("glen").as("glen_b")), Seq("gram"))
             .filter(col("id_a") < col("id_b"))
-          println("raw candidates (pre-distinct): " +
-            t("raw candidate count")(raw.count()))
+          if (positional) raw.filter(
+            col("rn_a") <= col("glen_a") - alpha + 1 &&
+              col("rn_b") <= col("glen_b") - alpha + 1)
+          else raw
+        }
+        if (rep == 1) {
+          println("raw candidates (pre-distinct, static prefix): " +
+            t("raw candidate count")(candSides(false).count()))
+          println("raw candidates (pre-distinct, positional): " +
+            t("raw positional count")(candSides(true).count()))
         }
         val numShuffle =
           spark.conf.get("spark.sql.shuffle.partitions").toInt
         val candidates = indexed.repartition(numShuffle, col("id"))
-          .select(col("gram"), col("id").as("id_a"))
-          .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
-          .filter(col("id_a") < col("id_b"))
+          .select(col("gram"), col("id").as("id_a"), col("rn").as("rn_a"),
+            col("glen").as("glen_a"))
+          .join(indexed.select(col("gram"), col("id").as("id_b"),
+            col("rn").as("rn_b"), col("glen").as("glen_b")), Seq("gram"))
+          .filter(col("id_a") < col("id_b") &&
+            col("rn_a") <= col("glen_a") - alpha + 1 &&
+            col("rn_b") <= col("glen_b") - alpha + 1)
           .select("id_a", "id_b").distinct()
         val cand = t("candidates checkpoint") { candidates.localCheckpoint(true) }
         println("candidates: " + cand.count())
@@ -230,17 +246,23 @@ object ProbeStages {
           .withColumn("rn", row_number().over(w2))
           .filter(col("rn") <=
             col("glen") - ceil(lit(t2) * col("glen")).cast("int") + 1)
-          .select("id", "gram")
+          .select("id", "gram", "rn", "glen")
         val indexed2 = prefix2.unionByName(docs2
           .filter(size(col("g")) === 0)
-          .select(col("id"), lit(Long.MinValue).as("gram")))
+          .select(col("id"), lit(Long.MinValue).as("gram"),
+            lit(1).as("rn"), lit(0).as("glen")))
           .localCheckpoint(true)
         val nShuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val alpha2 = floor(lit(t2 / (1.0 + t2)) *
+          (col("glen_a") + col("glen_b")))
         val cand2 = indexed2.repartition(nShuf, col("id"))
-          .select(col("gram"), col("id").as("id_a"))
-          .join(indexed2.select(col("gram"), col("id").as("id_b")),
-            Seq("gram"))
-          .filter(col("id_a") < col("id_b"))
+          .select(col("gram"), col("id").as("id_a"), col("rn").as("rn_a"),
+            col("glen").as("glen_a"))
+          .join(indexed2.select(col("gram"), col("id").as("id_b"),
+            col("rn").as("rn_b"), col("glen").as("glen_b")), Seq("gram"))
+          .filter(col("id_a") < col("id_b") &&
+            col("rn_a") <= col("glen_a") - alpha2 + 1 &&
+            col("rn_b") <= col("glen_b") - alpha2 + 1)
           .select("id_a", "id_b").distinct()
         dump("jaccard_verify_shape", cand2
           .join(docs2.select(col("id").as("id_a"), col("g").as("g_a")),

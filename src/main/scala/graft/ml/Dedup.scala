@@ -609,13 +609,15 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("glen") - ceil(lit(threshold) * col("glen")).cast("int") + 1)
-      .select("id", "gram")
+      .select("id", "gram", "rn", "glen")
     // the prefix index is the output of the whole doc-frequency +
     // window pipeline (three shuffles) and both candidate self-join
     // sides read it — materialize it once; it holds only each doc's
-    // ~(1-t)|g|+1 rarest grams, far smaller than the gram table
+    // ~(1-t)|g|+1 rarest grams, far smaller than the gram table.
+    // (rn, glen) ride along for the pair-positional filter below.
     val indexed = prefix.unionByName(docs.filter(size(col("g")) === 0)
-      .select(col("id"), lit(Long.MinValue).as("gram")))
+      .select(col("id"), lit(Long.MinValue).as("gram"),
+        lit(1).as("rn"), lit(0).as("glen")))
       .localCheckpoint(true)
     // Probe side re-keyed by doc id, with the explicit partition count
     // the planner would otherwise give the candidate exchange (explicit,
@@ -639,10 +641,29 @@ object Dedup {
     // gram-keyed join instead, the id-partitioning is re-exchanged and
     // the plan degrades to exactly the old shape plus one index-sized
     // shuffle — never worse than before by more than that.
+    // Pair-positional prefix filter (the positional part of PPJoin,
+    // Xiao et al. WWW'08): a pair with Jaccard >= t needs overlap
+    // α = ⌈t/(1+t)·(|A|+|B|)⌉, and the prefix lemma guarantees a shared
+    // gram within the first |A|-α+1 / |B|-α+1 grams of EACH side — a
+    // per-pair bound tighter than the static ⌈t·|g|⌉ prefix the index
+    // stores (which must assume the worst partner). Co-occurrences
+    // beyond the pair bound are dropped BEFORE the dedup aggregation,
+    // cutting both the aggregation input and the candidate set the
+    // verify must score. Float safety: α is computed as floor(...), a
+    // LOWER bound on the required overlap whatever double rounding
+    // does, so the prefixes used are never tighter than the lemma
+    // needs — completeness is unconditional, and any extra candidates
+    // the slack admits are removed by the exact verify.
+    val alpha = floor(lit(threshold / (1.0 + threshold)) *
+      (col("glen_a") + col("glen_b")))
     val candidates = indexed.repartition(shufflePartitions(df), col("id"))
-      .select(col("gram"), col("id").as("id_a"))
-      .join(indexed.select(col("gram"), col("id").as("id_b")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("gram"), col("id").as("id_a"), col("rn").as("rn_a"),
+        col("glen").as("glen_a"))
+      .join(indexed.select(col("gram"), col("id").as("id_b"),
+        col("rn").as("rn_b"), col("glen").as("glen_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        col("rn_a") <= col("glen_a") - alpha + 1 &&
+        col("rn_b") <= col("glen_b") - alpha + 1)
       .select("id_a", "id_b").distinct()
     val pairs = candidates
       .join(docs.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))

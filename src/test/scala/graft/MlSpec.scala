@@ -307,6 +307,22 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked CC rounds keep the exact maxIter accept/throw boundary") {
+    import spark.implicits._
+    // r7 runs two propagation rounds per checkpoint; the contract must
+    // stay: a path of n nodes has its last label change at round n-1,
+    // so it converges iff n <= maxIter — pin both sides of the edge
+    val n = 6
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, edges, maxIter = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(comp(_) == 1L))
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = n - 1).collect()
+    }
+  }
+
   test("high-diameter path: neighbor-min fails loudly, star converges") {
     import spark.implicits._
     // a 120-node path — diameter 119 exceeds neighbor-min's default 25
